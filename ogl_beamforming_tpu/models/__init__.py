@@ -1,1 +1,2 @@
-"""models subpackage."""
+"""Model presets."""
+from . import presets  # noqa: F401

@@ -58,10 +58,21 @@ class DasStatic:
     voxel_block: int = 16384
     """Voxels per inner block; bounds the (A, voxel_block) transient working
     set (the VMEM-sizing analogue of the reference's fixed 16-channel chunk)."""
+    backend: str = "xla"
+    """Kernel backend: "xla" (gather-based, runs everywhere), "pallas"
+    (Mosaic TPU kernel, ops/das_pallas.py), "pallas_interpret" (testing)."""
+    grid_channels: int = 0
+    """Kernel-grid channel count when != channel_count: the per-shard local
+    channel count under channel-axis sharding (parallel/sharding.py) —
+    channel_count stays global for element-geometry terms."""
 
     @property
     def family(self) -> str:
         return self.acquisition_kind.das_family
+
+    @property
+    def local_channels(self) -> int:
+        return self.grid_channels or self.channel_count
 
 
 def make_dynamic(p: DasParams) -> dict:
@@ -459,6 +470,10 @@ def das(rf: jax.Array, dyn: dict, st: DasStatic):
 
     Traceable; wrap in jit with ``st`` static (see :func:`das_jit`).
     """
+    if st.backend in ("pallas", "pallas_interpret"):
+        from .das_pallas import das_pallas
+        return das_pallas(rf, dyn, st,
+                          interpret=st.backend == "pallas_interpret")
     if st.family == "forces" and st.readi_group_count > 1:
         block_fn = _readi_forces_block
     else:

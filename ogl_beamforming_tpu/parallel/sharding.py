@@ -40,12 +40,20 @@ def make_mesh(devices=None, axis_name: str = CHANNEL_AXIS) -> Mesh:
 
 @lru_cache(maxsize=64)
 def _sharded_fn(desc: PlanDescriptor, mesh: Mesh, axis_name: str):
+    import dataclasses as _dc
     n = mesh.shape[axis_name]
     if desc.channel_count % n:
         raise ValueError(
             f"channel count {desc.channel_count} not divisible by "
             f"{n} devices")
     local_channels = desc.channel_count // n
+    # Kernel grids iterate the *local* channel shard; element geometry keeps
+    # the global channel count.
+    stages = tuple(
+        _dc.replace(sd, das=_dc.replace(sd.das, grid_channels=local_channels))
+        if sd.das is not None else sd
+        for sd in desc.stages)
+    desc = _dc.replace(desc, stages=stages)
 
     def worker(rf_shard, dyn):
         # Global receive-element indices for this shard — the TPU analogue

@@ -27,7 +27,7 @@ from ..params.types import (FilterParameters, LiveImagingParameters,
 from ..runtime.upload import prepare_rf
 from ..utils.transfer import sync, to_host
 from ..utils.filters import Filter, make_filter
-from .plan import CompiledPlan, build_plan
+from .plan import CompiledPlan, build_plan, compiled_stage_fns
 from .spec import (PipelineSpec, validate_block, validate_parameters,
                    validate_pipeline)
 from .stats import ComputeStats
@@ -89,13 +89,18 @@ class Beamformer:
     each ``*_at`` variant of the reference maps to the ``block=`` keyword.
     """
 
-    def __init__(self, backlog_bytes: int = 1 << 30, voxel_block: int = 65536):
+    def __init__(self, backlog_bytes: int = 1 << 30, voxel_block: int = 65536,
+                 profile: bool = False):
+        """``profile=True`` dispatches pipeline stages as separate programs
+        and records true per-stage device times into the stats table (at the
+        cost of inter-stage fusion)."""
         self._blocks: list[ParameterBlock] = [ParameterBlock()]
         self._reserved = 1
         self._backlog: list[Frame] = []
         self._backlog_bytes = backlog_bytes
         self._frame_id = 0
         self._voxel_block = voxel_block
+        self.profile = profile
         self.stats = ComputeStats()
         self.live_parameters = LiveImagingParameters()
         self._live_dirty = 0
@@ -234,16 +239,28 @@ class Beamformer:
     def _compute(self, rf, image_plane_tag, block) -> Frame:
         b = self._block(block)
         plan = self._ensure_plan(b)
-        t0 = time.perf_counter()
-        out = plan(rf)
-        # NOTE: sync() forces a readback — block_until_ready alone can return
-        # at enqueue time on tunneled TPU runtimes.
-        sync(out)
-        dt = time.perf_counter() - t0
-        n_stages = max(len(plan.descriptor.stages), 1)
-        # Fused pipeline: whole-program time attributed evenly across stages
-        # (per-stage split requires profile mode; see pipeline/stats.py).
-        self.stats.record_frame([dt / n_stages] * n_stages)
+        if self.profile:
+            out = rf
+            stage_times = []
+            for fn in compiled_stage_fns(plan.descriptor):
+                t0 = time.perf_counter()
+                out = fn(out, plan.dyn)
+                # sync() forces a readback — block_until_ready alone can
+                # return at enqueue time on tunneled TPU runtimes.
+                sync(out)
+                stage_times.append(time.perf_counter() - t0)
+            if plan.descriptor.coherency_weighting:
+                pass  # folded into the DAS stage fn
+            self.stats.record_frame(stage_times)
+        else:
+            t0 = time.perf_counter()
+            out = plan(rf)
+            sync(out)
+            dt = time.perf_counter() - t0
+            n_stages = max(len(plan.descriptor.stages), 1)
+            # Fused pipeline: whole-program time attributed evenly across
+            # stages (use profile=True for true per-stage times).
+            self.stats.record_frame([dt / n_stages] * n_stages)
         frame = Frame(data=out, id=self._frame_id,
                       view_plane=ViewPlaneTag(image_plane_tag))
         self._frame_id += 1

@@ -146,11 +146,21 @@ def _plan_stages(parameters: Parameters, pipeline: PipelineSpec,
     return stage_descs, sample_count, fs, time_offset, iq
 
 
+def resolve_das_backend(backend: str = "auto") -> str:
+    """"auto" picks the Pallas Mosaic kernel on real TPU, the portable
+    XLA-gather path elsewhere (XLA's per-voxel gathers serialize on TPU;
+    see ops/das_pallas.py)."""
+    if backend != "auto":
+        return backend
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def build_plan(parameters: Parameters, pipeline: PipelineSpec,
                filters: dict[int, Filter],
                channel_mapping=None, sparse_elements=None,
                focal_vectors=None, transmit_receive_orientations=None,
-               voxel_block: int = 65536) -> CompiledPlan:
+               voxel_block: int = 65536,
+               das_backend: str = "auto") -> CompiledPlan:
     """Build (or fetch from cache) the compiled pipeline for a parameter
     block's current state."""
     from ..ops.golden import DasParams  # layout of DAS parameters
@@ -205,7 +215,9 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
                 hadamard(readi), np.float32).T if readi > 1 else None),
             coherency_weighting=bool(parameters.coherency_weighting),
         )
-        das_static = das_ops.make_static(dp, iq=iq, voxel_block=voxel_block)
+        das_static = dataclasses.replace(
+            das_ops.make_static(dp, iq=iq, voxel_block=voxel_block),
+            backend=resolve_das_backend(das_backend))
         das_dyn = das_ops.make_dynamic(dp)
         stage_descs.append(StageDesc(kind=ShaderKind.DAS, das=das_static))
 
@@ -294,6 +306,30 @@ def compose_stages(desc: PlanDescriptor, rf, dyn, *,
 def _compiled_fn(desc: PlanDescriptor):
     """Trace + jit the stage composition for a static descriptor."""
     return jax.jit(lambda rf, dyn: compose_stages(desc, rf, dyn))
+
+
+@lru_cache(maxsize=32)
+def compiled_stage_fns(desc: PlanDescriptor):
+    """Individually-jitted per-stage callables for profile mode: the TPU
+    analogue of the reference's per-dispatch GPU timestamps
+    (beamformer_core.c:1577-1628).  Each fn maps (x, dyn) -> x'; the last
+    stage may return the frame tuple."""
+    fns = []
+    for i in range(len(desc.stages)):
+        sub = dataclasses.replace(desc, stages=desc.stages[i:i + 1])
+
+        def make(sub=sub, first=(i == 0)):
+            def fn(x, dyn):
+                if not first:
+                    # input decoding (Int16Complex pairing) only applies to
+                    # the raw first stage
+                    sub2 = dataclasses.replace(sub,
+                                               data_kind=DataKind.Float32)
+                    return compose_stages(sub2, x, dyn)
+                return compose_stages(sub, x, dyn)
+            return jax.jit(fn)
+        fns.append(make())
+    return fns
 
 
 def clear_plan_cache():

@@ -1,0 +1,135 @@
+"""Pallas DAS kernels vs golden oracle (interpret mode on CPU).
+
+The same kernels compile for real TPU via Mosaic; interpret mode validates
+the numerics in CI (bench.py exercises the compiled path on hardware).
+"""
+
+import numpy as np
+import pytest
+
+from helpers import nrmse
+
+from ogl_beamforming_tpu.ops import golden
+from ogl_beamforming_tpu.ops.das import make_dynamic, make_static
+from ogl_beamforming_tpu.ops.das_pallas import das_pallas
+from ogl_beamforming_tpu.params.enums import (AcquisitionKind,
+                                              InterpolationMode,
+                                              RCAOrientation,
+                                              pack_tx_rx_orientation)
+from ogl_beamforming_tpu.utils.hadamard import hadamard_transpose
+from ogl_beamforming_tpu.utils.transforms import (das_transform_2d_xz,
+                                                  das_transform_3d)
+
+TOL = 1e-3
+PITCH = 0.3e-3
+
+
+def _params(c, a, s, out_points, kind, **kw):
+    if len([d for d in out_points if d > 1]) == 3:
+        ap = (c - 1) * PITCH
+        vt = das_transform_3d([0, 0, 1e-3], [ap, ap, 8e-3])
+    else:
+        vt = das_transform_2d_xz([0, 1e-3], [(c - 1) * PITCH, 8e-3])
+    return golden.DasParams(
+        acquisition_kind=kind, acquisition_count=a, channel_count=c,
+        sample_count=s, sampling_frequency=20e6, demodulation_frequency=5e6,
+        speed_of_sound=1500.0, time_offset=1e-7, f_number=0.8,
+        voxel_transform=vt,
+        xdc_element_pitch=np.array([PITCH, PITCH], np.float32),
+        output_points=out_points, **kw)
+
+
+def _run(rng, p, iq=False):
+    c, a, s = p.channel_count, p.acquisition_count, p.sample_count
+    rf = rng.standard_normal((c, a, s)).astype(np.float32)
+    if iq:
+        rf = (rf + 1j * rng.standard_normal((c, a, s))).astype(np.complex64)
+    ref = golden.das(rf, p)
+    st = make_static(p, iq=iq)
+    dyn = make_dynamic(p)
+    out = das_pallas(np.asarray(rf), dyn, st, interpret=True)
+    return ref, out
+
+
+@pytest.mark.parametrize("interp", list(InterpolationMode))
+@pytest.mark.parametrize("iq", [False, True])
+def test_forces(rng, interp, iq):
+    p = _params(8, 4, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=interp)
+    ref, out = _run(rng, p, iq)
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
+def test_uforces_sparse(rng):
+    p = _params(8, 5, 256, (12, 16, 1), AcquisitionKind.UFORCES, sparse=True,
+                sparse_elements=np.array([0, 2, 4, 6, 7], np.int16),
+                interpolation_mode=InterpolationMode.Linear)
+    ref, out = _run(rng, p)
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
+@pytest.mark.parametrize("tx,rx,focus", [
+    (RCAOrientation.Rows, RCAOrientation.Columns, np.inf),
+    (RCAOrientation.Columns, RCAOrientation.Rows, 0.008),
+])
+def test_hercules(rng, tx, rx, focus):
+    p = _params(8, 4, 256, (8, 8, 12), AcquisitionKind.HERCULES,
+                transmit_receive_orientation=pack_tx_rx_orientation(tx, rx),
+                transmit_angle=3.0, focus_depth=focus,
+                interpolation_mode=InterpolationMode.Linear)
+    ref, out = _run(rng, p, iq=(focus != np.inf))
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
+def test_uhercules_sparse(rng):
+    p = _params(8, 5, 256, (8, 8, 12), AcquisitionKind.UHERCULES, sparse=True,
+                sparse_elements=np.array([0, 2, 4, 6, 7], np.int16),
+                transmit_receive_orientation=pack_tx_rx_orientation(
+                    RCAOrientation.Rows, RCAOrientation.Columns),
+                transmit_angle=0.0, focus_depth=np.inf,
+                interpolation_mode=InterpolationMode.Linear)
+    ref, out = _run(rng, p)
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
+@pytest.mark.parametrize("kind,focus,orient", [
+    (AcquisitionKind.Flash, np.inf, RCAOrientation.Columns),
+    (AcquisitionKind.RCA_TPW, np.inf, RCAOrientation.Columns),
+    (AcquisitionKind.RCA_VLS, 0.008, RCAOrientation.Rows),
+])
+def test_rca(rng, kind, focus, orient):
+    a = 3
+    angles = np.array([-5.0, 0.0, 5.0], np.float32)
+    fv = np.stack([angles, np.full(a, focus, np.float32)], axis=-1)
+    out_points = (8, 8, 12) if orient == RCAOrientation.Rows else (12, 16, 1)
+    p = _params(8, a, 256, out_points, kind,
+                single_focus=False, focal_vectors=fv, single_orientation=False,
+                transmit_receive_orientations=np.full(
+                    a, pack_tx_rx_orientation(orient, orient), np.uint8),
+                interpolation_mode=InterpolationMode.Cubic)
+    ref, out = _run(rng, p, iq=(kind == AcquisitionKind.RCA_VLS))
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
+def test_readi_forces(rng):
+    p = _params(4, 4, 256, (8, 12, 1), AcquisitionKind.FORCES,
+                readi_group_count=4, readi_group=2,
+                das_hadamard=hadamard_transpose(4),
+                interpolation_mode=InterpolationMode.Linear)
+    ref, out = _run(rng, p)
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
+@pytest.mark.parametrize("iq", [False, True])
+def test_coherency(rng, iq):
+    p = _params(6, 4, 256, (8, 12, 1), AcquisitionKind.FORCES,
+                coherency_weighting=True,
+                interpolation_mode=InterpolationMode.Linear)
+    (ref_c, ref_i), (out_c, out_i) = _run(rng, p, iq)
+    assert nrmse(ref_c, np.asarray(out_c)) < TOL
+    assert nrmse(ref_i, np.asarray(out_i)) < TOL

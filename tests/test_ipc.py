@@ -1,0 +1,153 @@
+"""Shared-memory IPC: C client library <-> Python/TPU server, end to end.
+
+Builds the native library, starts a server thread (CPU-JAX executor),
+then drives the reference client ABI through ctypes exactly as an external
+C/MATLAB program would (reference: tests/decode.c, tests/throughput.c link
+ogl_beamformer_lib and talk over shm).
+"""
+
+import ctypes as ct
+import os
+
+import numpy as np
+import pytest
+
+from helpers import nrmse
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("BF_SKIP_IPC") == "1", reason="IPC disabled")
+
+from ogl_beamforming_tpu.ops import golden
+from ogl_beamforming_tpu.params.enums import (AcquisitionKind, DataKind,
+                                              ErrorKind, InterpolationMode,
+                                              ShaderKind)
+from ogl_beamforming_tpu.runtime import abi
+from ogl_beamforming_tpu.runtime.server import BeamformerServer
+from ogl_beamforming_tpu.utils.hadamard import hadamard
+from ogl_beamforming_tpu.utils.transforms import das_transform_2d_xz
+
+
+@pytest.fixture(scope="module")
+def server():
+    os.environ["OGL_BEAMFORMER_SHM_NAME"] = f"/bf_tpu_test_{os.getpid()}"
+    srv = BeamformerServer(shm_size=64 << 20)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _fill_simple(c=8, a=4, s=256, nx=12, nz=16):
+    sp = abi.CSimpleParameters()
+    p = sp.parameters
+    pitch = 0.3e-3
+    vt = das_transform_2d_xz([0, 1e-3], [(c - 1) * pitch, 8e-3])
+    # row-major numpy -> column-major reference m4
+    p.das_voxel_transform.E[:] = list(np.asarray(vt, np.float32).T.ravel())
+    eye = np.eye(4, dtype=np.float32)
+    p.xdc_transform.E[:] = list(eye.T.ravel())
+    p.xdc_element_pitch.E[:] = [pitch, pitch]
+    p.raw_data_dimensions.E[:] = [a * s, c]
+    p.focal_vector.E[:] = [0.0, 0.0]
+    p.sample_count = s
+    p.channel_count = c
+    p.acquisition_count = a
+    p.acquisition_kind = int(AcquisitionKind.FORCES)
+    p.decode_mode = 1
+    p.time_offset = 0.0
+    p.single_focus = 1
+    p.single_orientation = 1
+    p.output_points.E[:] = [nx, nz, 1, 0]
+    p.sampling_frequency = 20e6
+    p.demodulation_frequency = 5e6
+    p.speed_of_sound = 1500.0
+    p.f_number = 0.8
+    p.interpolation_mode = int(InterpolationMode.Linear)
+    p.decimation_rate = 1
+    for i in range(256):
+        sp.channel_mapping[i] = i
+    sp.compute_stages[0] = int(ShaderKind.Decode)
+    sp.compute_stages[1] = int(ShaderKind.DAS)
+    sp.compute_stages_count = 2
+    sp.data_kind = int(DataKind.Int16)
+    return sp
+
+
+def test_api_version(server):
+    assert server.lib.beamformer_get_api_version() == 33
+
+
+def test_error_strings(server):
+    s = server.lib.beamformer_error_string(int(ErrorKind.WorkQueueFull))
+    assert s == b"work queue full"
+
+
+def test_beamform_data_end_to_end(server, rng):
+    c, a, s, nx, nz = 8, 4, 256, 12, 16
+    sp = _fill_simple(c, a, s, nx, nz)
+    raw = rng.integers(-1024, 1024, (c, a * s)).astype(np.int16)
+    out = np.zeros(nx * nz, np.float32)
+
+    ok = server.lib.beamformer_beamform_data(
+        ct.byref(sp), raw.ctypes.data_as(ct.c_void_p), raw.nbytes,
+        out.ctypes.data_as(ct.c_void_p), 15000)
+    assert ok == 1, server.lib.beamformer_get_last_error_string()
+
+    # Golden: decode + DAS; exported layout is x-fastest
+    rf = raw.reshape(c, a, s)
+    dec = golden.decode_hadamard(rf, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=das_transform_2d_xz([0, 1e-3],
+                                            [(c - 1) * 0.3e-3, 8e-3]),
+        xdc_element_pitch=np.array([0.3e-3, 0.3e-3], np.float32),
+        output_points=(nx, nz, 1))
+    ref = golden.das(rf=dec, p=dp)
+    ref_flat = np.asarray(ref).transpose(2, 1, 0).ravel()
+    assert nrmse(ref_flat, out) < 1e-3
+
+
+def test_push_and_compute_advanced(server, rng):
+    """Advanced API: push parameters/pipeline separately, then data."""
+    lib = server.lib
+    sp = _fill_simple()
+    assert lib.beamformer_push_simple_parameters(ct.byref(sp)) == 1
+
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    assert lib.beamformer_push_data_with_compute(
+        raw.ctypes.data_as(ct.c_void_p), raw.nbytes, 0, 0) == 1
+
+    out = np.zeros(12 * 16, np.float32)
+    lib.beamformer_set_global_timeout(15000)
+    assert lib.beamformer_get_last_frames(
+        out.ctypes.data_as(ct.c_void_p), out.nbytes, 1) == 1
+    lib.beamformer_set_global_timeout(0)
+    assert np.abs(out).max() > 0
+
+
+def test_compute_timings_export(server):
+    stats = abi.CStatsTable()
+    assert server.lib.beamformer_compute_timings(ct.byref(stats), 1000) == 1
+    ids = list(stats.shader_ids)
+    assert int(ShaderKind.DAS) in ids
+
+
+def test_client_errors(server, rng):
+    lib = server.lib
+    # bad image plane
+    raw = np.zeros(16, np.int16)
+    assert lib.beamformer_push_data_with_compute(
+        raw.ctypes.data_as(ct.c_void_p), raw.nbytes, 99, 0) == 0
+    assert lib.beamformer_get_last_error() == int(ErrorKind.InvalidImagePlane)
+    # bad pipeline start
+    stages = (ct.c_int32 * 1)(int(ShaderKind.DAS))
+    assert lib.beamformer_push_pipeline(stages, 1, int(DataKind.Int16)) == 0
+    assert lib.beamformer_get_last_error() == int(ErrorKind.InvalidStartShader)
+    # data size mismatch
+    sp = _fill_simple()
+    assert lib.beamformer_push_simple_parameters(ct.byref(sp)) == 1
+    assert lib.beamformer_push_data_with_compute(
+        raw.ctypes.data_as(ct.c_void_p), raw.nbytes, 0, 0) == 0
+    assert lib.beamformer_get_last_error() == int(ErrorKind.DataSizeMismatch)

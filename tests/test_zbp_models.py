@@ -1,0 +1,80 @@
+"""zbp loader round-trip and model presets."""
+
+import numpy as np
+
+from ogl_beamforming_tpu.models import presets
+from ogl_beamforming_tpu.params.enums import (AcquisitionKind, DataKind,
+                                              DecodeMode, ShaderKind)
+from ogl_beamforming_tpu.pipeline.executor import Beamformer
+from ogl_beamforming_tpu.pipeline.spec import validate_pipeline
+from ogl_beamforming_tpu.utils.zbp import ZbpFile, load_zbp, save_zbp_v1
+
+
+def test_zbp_v1_roundtrip(tmp_path, rng):
+    c, a, s = 8, 4, 64
+    data = rng.integers(-1000, 1000, c * a * s).astype(np.int16)
+    z = ZbpFile(
+        version=(1, 0), raw_data_dimension=(a * s, c, 1, 1),
+        data_kind=DataKind.Int16, decode_mode=DecodeMode.Hadamard,
+        sampling_mode=0, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1480.0,
+        sample_count=s, channel_count=c, receive_event_count=a,
+        xdc_transform=np.eye(4, dtype=np.float32),
+        xdc_element_pitch=np.array([3e-4, 3e-4], np.float32),
+        time_offset=1e-6, acquisition_kind=AcquisitionKind.FORCES,
+        channel_mapping=np.arange(c, dtype=np.int16),
+        steering_angles=np.zeros(a, np.float32),
+        focal_depths=np.full(a, np.inf, np.float32),
+        sparse_elements=np.zeros(a, np.int16),
+        data=data)
+    path = tmp_path / "test.zbp"
+    save_zbp_v1(path, z)
+    back = load_zbp(path)
+    assert back.sample_count == s and back.channel_count == c
+    assert back.receive_event_count == a
+    assert back.speed_of_sound == np.float32(1480.0)
+    assert back.acquisition_kind == AcquisitionKind.FORCES
+    assert back.decode_mode == DecodeMode.Hadamard
+    np.testing.assert_array_equal(back.data[:data.size], data)
+    np.testing.assert_allclose(back.xdc_transform, z.xdc_transform)
+
+
+def test_presets_validate():
+    for p, pipe in [presets.decode_benchmark(),
+                    presets.plane_wave_2d(),
+                    presets.forces_compounding(demodulate=False),
+                    presets.hercules_3d()]:
+        validate_pipeline(pipe.shaders, pipe.data_kind)
+        assert p.sample_count > 0
+
+    p, pipe, sparse = presets.uforces_volumetric()
+    validate_pipeline(pipe.shaders, pipe.data_kind)
+    assert len(sparse) == p.acquisition_count - 1
+
+
+def test_preset_runs_end_to_end(rng):
+    p, pipe = presets.forces_compounding(
+        channel_count=8, transmit_count=4, sample_count=256,
+        output_points=(16, 32), demodulate=False)
+    bf = Beamformer(voxel_block=128)
+    bf.push_parameters(p)
+    bf.push_pipeline(pipe.shaders, pipe.data_kind)
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    frame = bf.push_data_with_compute(raw)
+    assert frame.output_points == (16, 32, 1)
+
+
+def test_from_zbp_config(tmp_path, rng):
+    z = ZbpFile(
+        version=(1, 0), raw_data_dimension=(4 * 64, 8, 1, 1),
+        data_kind=DataKind.Int16, decode_mode=DecodeMode.Hadamard,
+        sampling_mode=0, sampling_frequency=20e6,
+        demodulation_frequency=0.0, speed_of_sound=1540.0,
+        sample_count=64, channel_count=8, receive_event_count=4,
+        xdc_transform=np.eye(4, dtype=np.float32),
+        xdc_element_pitch=np.array([3e-4, 3e-4], np.float32),
+        time_offset=0.0, acquisition_kind=AcquisitionKind.FORCES)
+    p, pipe = presets.from_zbp(z, output_points=(16, 32))
+    validate_pipeline(pipe.shaders, pipe.data_kind)
+    assert pipe.shaders == [ShaderKind.Decode, ShaderKind.DAS]
+    assert p.channel_count == 8
