@@ -470,6 +470,15 @@ def das(rf: jax.Array, dyn: dict, st: DasStatic):
 
     Traceable; wrap in jit with ``st`` static (see :func:`das_jit`).
     """
+    if st.family == "none":
+        # Reference dispatch has no case for this kind (das.glsl:381-400):
+        # the frame stays zero.
+        nx, ny, nz = st.output_points
+        zero = jnp.zeros((nx, ny, nz),
+                         jnp.complex64 if st.iq else jnp.float32)
+        if st.coherency_weighting:
+            return zero, jnp.zeros((nx, ny, nz), jnp.float32)
+        return zero
     if st.backend in ("pallas", "pallas_interpret"):
         from .das_pallas import das_pallas
         return das_pallas(rf, dyn, st,

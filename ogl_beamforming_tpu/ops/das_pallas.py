@@ -295,12 +295,13 @@ def _das_kernel(st: DasStatic, scalars_ref, t0_ref, t1_ref, vt_ref, xdc_ref,
         @pl.when(any_active & (q >= qmin) & (q <= qmax))
         def _(q=q):
             base = q * CHUNK
+            # block layout (1, 1, planes, S): plane 0 = re, 1 = im
             src_re = jnp.broadcast_to(
                 rf_ref[0, 0, 0:1, base:base + CHUNK].reshape(1, CHUNK),
                 (TILE_SUB, CHUNK))
             if iq:
                 src_im = jnp.broadcast_to(
-                    rf_ref[0, 1, 0:1, base:base + CHUNK].reshape(1, CHUNK),
+                    rf_ref[0, 0, 1:2, base:base + CHUNK].reshape(1, CHUNK),
                     (TILE_SUB, CHUNK))
             a_re = acc_re_ref[:]
             a_im = acc_im_ref[:] if iq else None
@@ -352,7 +353,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     s_pad = _cdiv(s, CHUNK) * CHUNK
     a = n_rf_acq
 
-    rf_block = (1, 2, 1, s_pad) if st.iq else (1, 1, 1, s_pad)
+    # NOTE: last two block dims must equal the array dims (or be (8,128)
+    # multiples): layout is (C, A, planes, S) with block (1, 1, planes, S).
+    rf_block = (1, 1, 2, s_pad) if st.iq else (1, 1, 1, s_pad)
     kernel = functools.partial(_das_kernel, st)
 
     out_shapes = [jax.ShapeDtypeStruct((rt * TILE_SUB, zt * TILE_LANE),
@@ -363,10 +366,10 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     if st.readi_group_count > 1:
         def rf_index(i, c, e, *_):
-            return (c, 0, e % a, 0)
+            return (c, e % a, 0, 0)
     else:
         def rf_index(i, c, e, *_):
-            return (c, 0, e, 0)
+            return (c, e, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,    # scalars + two geometry tables (SMEM)
@@ -401,9 +404,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         rf_used = rf[:, sparse:, :]
         if st.iq:
             rf_planes = jnp.stack(
-                [jnp.real(rf_used), jnp.imag(rf_used)], axis=1)
+                [jnp.real(rf_used), jnp.imag(rf_used)], axis=2)
         else:
-            rf_planes = rf_used.astype(jnp.float32)[:, None, :, :]
+            rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
         if s_pad != s:
             rf_planes = jnp.pad(
                 rf_planes, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))

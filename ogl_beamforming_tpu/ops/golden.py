@@ -489,7 +489,14 @@ def das(rf: np.ndarray, p: DasParams):
         return das_forces(rf, p)
     if family == "hercules":
         return das_hercules(rf, p)
-    return das_rca(rf, p)
+    if family == "rca":
+        return das_rca(rf, p)
+    # No dispatch case in the reference (das.glsl:381-400): zero frame.
+    shape = tuple(int(v) for v in p.output_points)
+    zero = np.zeros(shape, _accum_dtype(np.iscomplexobj(rf)))
+    if p.coherency_weighting:
+        return zero, np.zeros(shape, np.float32)
+    return zero
 
 
 def coherency_weighting(coherent: np.ndarray, incoherent: np.ndarray,

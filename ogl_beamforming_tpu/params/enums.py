@@ -158,6 +158,9 @@ class AcquisitionKind(enum.IntEnum):
 
     @property
     def das_family(self) -> str:
+        """DAS dispatch group (das.glsl:381-400).  Kinds outside the
+        reference's switch (RACES, EPIC_*, ULM) return "none": the shader
+        leaves the accumulator at zero for them."""
         if self in (AcquisitionKind.FORCES, AcquisitionKind.UFORCES):
             return "forces"
         if self in (AcquisitionKind.HERCULES, AcquisitionKind.UHERCULES,
@@ -166,7 +169,7 @@ class AcquisitionKind(enum.IntEnum):
         if self in (AcquisitionKind.Flash, AcquisitionKind.RCA_TPW,
                     AcquisitionKind.RCA_VLS):
             return "rca"
-        raise ValueError(f"acquisition kind {self.name} has no DAS dispatch")
+        return "none"
 
 
 class FilterKind(enum.IntEnum):

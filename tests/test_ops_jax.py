@@ -197,3 +197,15 @@ def test_display_ops_match_golden(rng):
     lo, hi = min_max(v)
     assert float(lo) == pytest.approx(np.abs(v).min(), rel=1e-5)
     assert float(hi) == pytest.approx(np.abs(v).max(), rel=1e-5)
+
+
+def test_das_undispatched_kinds_zero(rng):
+    """RACES/EPIC/ULM have no das.glsl dispatch case: zero frames."""
+    p = golden.DasParams(acquisition_kind=AcquisitionKind.RACES,
+                         acquisition_count=2, channel_count=4,
+                         sample_count=64, sampling_frequency=1e7,
+                         speed_of_sound=1500.0, output_points=(4, 4, 1))
+    rf = rng.standard_normal((4, 2, 64)).astype(np.float32)
+    assert np.all(golden.das(rf, p) == 0)
+    out = das_from_params(rf, p, voxel_block=32)
+    assert np.all(np.asarray(out) == 0)
