@@ -34,7 +34,7 @@ def _timeit(fn, sync, warmup=2, iters=8):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_decode(c=256, s=4096, transmits=(16, 64, 96, 256), iters=16):
+def bench_decode(c=256, s=4096, transmits=(16, 64, 96, 256), iters=100):
     """tests/decode.c sweep: 4096 samples x 256 channels Int16."""
     import jax.numpy as jnp
     from ogl_beamforming_tpu.ops.decode import decode_hadamard, hadamard_matrix
@@ -45,7 +45,8 @@ def bench_decode(c=256, s=4096, transmits=(16, 64, 96, 256), iters=16):
         rf = jnp.asarray(
             np.random.randint(-2048, 2048, (c, t, s)).astype(np.int16))
         h = hadamard_matrix(t)
-        dt = _timeit(lambda: decode_hadamard(rf, h), sync, iters=iters)
+        dt = _timeit(lambda: decode_hadamard(rf, h), sync, warmup=4,
+                     iters=iters)
         results[t] = {"ms": dt * 1e3, "GB/s": s * t * c * 2 / dt / 1e9}
     return results
 

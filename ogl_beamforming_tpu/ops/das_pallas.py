@@ -236,46 +236,32 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 # Shared kernel
 # ---------------------------------------------------------------------------
 
-def _das_kernel(st: DasStatic, scalars_ref, t0_ref, t1_ref, vt_ref, xdc_ref,
-                rf_ref, out_re_ref, out_im_ref, out_in_ref,
-                acc_re_ref, acc_im_ref):
-    """One (voxel-tile, channel, transmit) grid step."""
+def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
+                vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref, out_in_ref,
+                acc_re_ref, acc_im_ref, world_ref):
+    """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
+    transmits are processed per step to amortize world-point/output traffic
+    and grid overhead."""
     tile = pl.program_id(0)
     ch = pl.program_id(1)
-    acq = pl.program_id(2)
+    blk = pl.program_id(2)
     s = st.sample_count
     nq = _cdiv(s, CHUNK)
     iq = st.iq
 
-    world = _tile_world_points(st, tile, vt_ref)
-    index, apod, mask = _DELAY[st.family](
-        st, scalars_ref, t0_ref, t1_ref, xdc_ref, ch, acq, world)
+    first = (ch == 0) & (blk == 0)
 
-    if st.interpolation_mode == InterpolationMode.Nearest:
-        k = jnp.floor(index + 0.5).astype(jnp.int32)
-        valid = (jnp.floor(index) >= 0) & (k < s)
-        taps = [(0, jnp.float32(1.0))]
-    else:
-        kf = jnp.floor(index)
-        k = kf.astype(jnp.int32)
-        t = index - kf
-        if st.interpolation_mode == InterpolationMode.Linear:
-            valid = (k >= 0) & (k < s - 1)
-        else:
-            valid = (k > 0) & (k < s - 2)
-        taps = _interp_weights(st, t)
+    # World points are a pure function of the tile: compute them once when a
+    # new tile begins (scratch persists across the channel x transmit loop).
+    @pl.when(first)
+    def _():
+        wx, wy, wz, win = _tile_world_points(st, tile, vt_ref)
+        world_ref[0] = wx
+        world_ref[1] = wy
+        world_ref[2] = wz
+        world_ref[3] = win.astype(jnp.float32)
 
-    w_mask = apod * valid.astype(jnp.float32)
-    min_off = min(off for off, _ in taps)
-    max_off = max(off for off, _ in taps)
-    active = valid & mask
-    k_lo = jnp.min(jnp.where(active, k, s)) + min_off
-    k_hi = jnp.max(jnp.where(active, k, 0)) + max_off
-    qmin = jnp.clip(k_lo // CHUNK, 0, nq - 1)
-    qmax = jnp.clip(k_hi // CHUNK, 0, nq - 1)
-    any_active = jnp.any(active)
-
-    first = (ch == 0) & (acq == 0)
+    world = (world_ref[0], world_ref[1], world_ref[2], world_ref[3] > 0.5)
 
     @pl.when(first)
     def _():
@@ -285,57 +271,98 @@ def _das_kernel(st: DasStatic, scalars_ref, t0_ref, t1_ref, vt_ref, xdc_ref,
         if st.coherency_weighting:
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
-    acc_re_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
-    if iq:
-        acc_im_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
+    sum_re = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
+    sum_im = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
+    sum_in = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
 
-    # Static chunk loop with predicated skip: every RF load has a static
-    # address; pl.when branches away chunks this tile doesn't touch.
-    for q in range(nq):
-        @pl.when(any_active & (q >= qmin) & (q <= qmax))
-        def _(q=q):
-            base = q * CHUNK
-            # block layout (1, 1, planes, S): plane 0 = re, 1 = im
-            src_re = jnp.broadcast_to(
-                rf_ref[0, 0, 0:1, base:base + CHUNK].reshape(1, CHUNK),
-                (TILE_SUB, CHUNK))
-            if iq:
-                src_im = jnp.broadcast_to(
-                    rf_ref[0, 0, 1:2, base:base + CHUNK].reshape(1, CHUNK),
+    for j in range(tx_block):
+        acq = blk * tx_block + j
+        index, apod, mask = _DELAY[st.family](
+            st, scalars_ref, t0_ref, t1_ref, xdc_ref, ch, acq, world)
+
+        if st.interpolation_mode == InterpolationMode.Nearest:
+            k = jnp.floor(index + 0.5).astype(jnp.int32)
+            valid = (jnp.floor(index) >= 0) & (k < s)
+            taps = [(0, jnp.float32(1.0))]
+        else:
+            kf = jnp.floor(index)
+            k = kf.astype(jnp.int32)
+            t = index - kf
+            if st.interpolation_mode == InterpolationMode.Linear:
+                valid = (k >= 0) & (k < s - 1)
+            else:
+                valid = (k > 0) & (k < s - 2)
+            taps = _interp_weights(st, t)
+
+        w_mask = apod * valid.astype(jnp.float32)
+        min_off = min(off for off, _ in taps)
+        max_off = max(off for off, _ in taps)
+        active = valid & mask
+        k_lo = jnp.min(jnp.where(active, k, s)) + min_off
+        k_hi = jnp.max(jnp.where(active, k, 0)) + max_off
+        qmin = jnp.clip(k_lo // CHUNK, 0, nq - 1)
+        qmax = jnp.clip(k_hi // CHUNK, 0, nq - 1)
+        any_active = jnp.any(active)
+
+        acc_re_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
+        if iq:
+            acc_im_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
+
+        # Static chunk loop with predicated skip: every RF load has a static
+        # address; pl.when branches away chunks this tile doesn't touch.
+        for q in range(nq):
+            @pl.when(any_active & (q >= qmin) & (q <= qmax))
+            def _(q=q, j=j, k=k, w_mask=w_mask, taps=taps):
+                base = q * CHUNK
+                # block layout (1, TB, planes, S): plane 0 = re, 1 = im
+                src_re = jnp.broadcast_to(
+                    rf_ref[0, j, 0:1, base:base + CHUNK].reshape(1, CHUNK),
                     (TILE_SUB, CHUNK))
-            a_re = acc_re_ref[:]
-            a_im = acc_im_ref[:] if iq else None
-            for off, w in taps:
-                r = k + off - base
-                sel = (r >= 0) & (r < CHUNK)
-                rc = jnp.clip(r, 0, CHUNK - 1)
-                wsel = jnp.where(sel, w_mask * w, 0.0)
-                a_re = a_re + wsel * jnp.take_along_axis(src_re, rc, axis=-1)
                 if iq:
-                    a_im = a_im + wsel * jnp.take_along_axis(src_im, rc,
+                    src_im = jnp.broadcast_to(
+                        rf_ref[0, j, 1:2, base:base + CHUNK].reshape(
+                            1, CHUNK), (TILE_SUB, CHUNK))
+                a_re = acc_re_ref[:]
+                a_im = acc_im_ref[:] if iq else None
+                for off, w in taps:
+                    r = k + off - base
+                    sel = (r >= 0) & (r < CHUNK)
+                    rc = jnp.clip(r, 0, CHUNK - 1)
+                    wsel = jnp.where(sel, w_mask * w, 0.0)
+                    a_re = a_re + wsel * jnp.take_along_axis(src_re, rc,
                                                              axis=-1)
-            acc_re_ref[:] = a_re
-            if iq:
-                acc_im_ref[:] = a_im
+                    if iq:
+                        a_im = a_im + wsel * jnp.take_along_axis(src_im, rc,
+                                                                 axis=-1)
+                acc_re_ref[:] = a_re
+                if iq:
+                    acc_im_ref[:] = a_im
 
+        if iq:
+            # rotate the (tile, c, a) contribution once (das.glsl:51-59)
+            arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
+                   * index / scalars_ref[_SC_FS])
+            ph_re = jnp.cos(arg)
+            ph_im = jnp.sin(arg)
+            a_re = acc_re_ref[:]
+            a_im = acc_im_ref[:]
+            rot_re = a_re * ph_re - a_im * ph_im
+            rot_im = a_re * ph_im + a_im * ph_re
+            sum_re = sum_re + rot_re
+            sum_im = sum_im + rot_im
+            if st.coherency_weighting:
+                sum_in = sum_in + jnp.sqrt(rot_re * rot_re
+                                           + rot_im * rot_im)
+        else:
+            sum_re = sum_re + acc_re_ref[:]
+            if st.coherency_weighting:
+                sum_in = sum_in + jnp.abs(acc_re_ref[:])
+
+    out_re_ref[:] += sum_re
     if iq:
-        # rotate the (tile, c, a) contribution once (das.glsl:51-59)
-        arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
-               * index / scalars_ref[_SC_FS])
-        ph_re = jnp.cos(arg)
-        ph_im = jnp.sin(arg)
-        a_re = acc_re_ref[:]
-        a_im = acc_im_ref[:]
-        rot_re = a_re * ph_re - a_im * ph_im
-        rot_im = a_re * ph_im + a_im * ph_re
-        out_re_ref[:] += rot_re
-        out_im_ref[:] += rot_im
-        if st.coherency_weighting:
-            out_in_ref[:] += jnp.sqrt(rot_re * rot_re + rot_im * rot_im)
-    else:
-        out_re_ref[:] += acc_re_ref[:]
-        if st.coherency_weighting:
-            out_in_ref[:] += jnp.abs(acc_re_ref[:])
+        out_im_ref[:] += sum_im
+    if st.coherency_weighting:
+        out_in_ref[:] += sum_in
 
 
 @functools.lru_cache(maxsize=64)
@@ -353,10 +380,16 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     s_pad = _cdiv(s, CHUNK) * CHUNK
     a = n_rf_acq
 
+    # Transmit blocking: process up to 4 transmits per grid step (amortizes
+    # world points, output traffic, and grid overhead).
+    tx_block = min(4, n_acq_grid)
+    n_blocks = _cdiv(n_acq_grid, tx_block)
+    a_pad = n_blocks * tx_block
+
     # NOTE: last two block dims must equal the array dims (or be (8,128)
-    # multiples): layout is (C, A, planes, S) with block (1, 1, planes, S).
-    rf_block = (1, 1, 2, s_pad) if st.iq else (1, 1, 1, s_pad)
-    kernel = functools.partial(_das_kernel, st)
+    # multiples): layout is (C, A, planes, S) with block (1, TB, planes, S).
+    rf_block = (1, tx_block, 2, s_pad) if st.iq else (1, tx_block, 1, s_pad)
+    kernel = functools.partial(_das_kernel, st, tx_block)
 
     out_shapes = [jax.ShapeDtypeStruct((rt * TILE_SUB, zt * TILE_LANE),
                                        jnp.float32)] * 3
@@ -364,16 +397,14 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                             lambda i, c, q, *_: (i // zt, i % zt),
                             memory_space=pltpu.VMEM)
 
-    if st.readi_group_count > 1:
-        def rf_index(i, c, e, *_):
-            return (c, e % a, 0, 0)
-    else:
-        def rf_index(i, c, e, *_):
-            return (c, e, 0, 0)
+    # rf is laid out per *grid* transmit index (READI duplication resolved
+    # on host), so the block index is simply the transmit-block number.
+    def rf_index(i, c, b, *_):
+        return (c, b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,    # scalars + two geometry tables (SMEM)
-        grid=(n_tiles, st.local_channels, n_acq_grid),
+        grid=(n_tiles, st.local_channels, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # voxel transform (4,4)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # xdc transform (4,4)
@@ -384,6 +415,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
+            pltpu.VMEM((4, TILE_SUB, TILE_LANE), jnp.float32),
         ],
     )
 
@@ -398,18 +430,25 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     sparse = int(st.sparse) if st.family != "rca" else 0
 
+    g_repeat = st.readi_group_count if st.readi_group_count > 1 else 1
+
     def run(scalars, t0_arr, t1_arr, vt, xdc, rf):
         # Complex handling stays inside jit: some TPU runtimes cannot
         # execute eager complex ops or transfer complex arrays.
         rf_used = rf[:, sparse:, :]
+        if g_repeat > 1:
+            # READI: grid transmit index e maps to rf acquisition e % A —
+            # materialize the tiled layout so block specs stay trivial.
+            rf_used = jnp.tile(rf_used, (1, g_repeat, 1))
         if st.iq:
             rf_planes = jnp.stack(
                 [jnp.real(rf_used), jnp.imag(rf_used)], axis=2)
         else:
             rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
-        if s_pad != s:
+        pad_a = a_pad - rf_planes.shape[1]
+        if s_pad != s or pad_a:
             rf_planes = jnp.pad(
-                rf_planes, ((0, 0), (0, 0), (0, 0), (0, s_pad - s)))
+                rf_planes, ((0, 0), (0, pad_a), (0, 0), (0, s_pad - s)))
         out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, vt, xdc,
                                     rf_planes)
         n_rows, n_lanes = _axes(st)
@@ -488,6 +527,21 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
 
     for k_, v_ in vals.items():
         scalars = scalars.at[k_].set(jnp.asarray(v_, jnp.float32))
+
+    # Pad per-transmit tables to the blocked grid extent with zero weights
+    # (padded transmits contribute nothing).
+    tx_block = min(4, n_grid)
+    a_pad = _cdiv(n_grid, tx_block) * tx_block
+    extra = a_pad - n_grid
+    if extra:
+        if family == "rca":
+            t0_arr = jnp.concatenate(
+                [t0_arr, jnp.zeros(2 * extra, jnp.float32)])
+            t1_arr = jnp.concatenate(
+                [t1_arr, jnp.full(extra, jnp.inf, jnp.float32)])
+        else:
+            t0_arr = jnp.concatenate([t0_arr, jnp.zeros(extra, jnp.float32)])
+            t1_arr = jnp.concatenate([t1_arr, jnp.zeros(extra, jnp.float32)])
 
     fn = _das_call(st, n_grid, n_rf, interpret)
     return fn(scalars, t0_arr, t1_arr,

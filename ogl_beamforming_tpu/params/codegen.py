@@ -242,9 +242,52 @@ def generate_matlab_class(struct_name: str, fields: list[tuple[str, str]]
     return "\n".join(lines)
 
 
+_MATLAB_SIMPLE_FIELDS = [
+    # (name, matlab initializer) — mirrors BeamformerSimpleParameters
+    ("das_voxel_transform", "(1,16) single = zeros(1,16,'single')"),
+    ("xdc_transform", "(1,16) single = single(reshape(eye(4),1,16))"),
+    ("xdc_element_pitch", "(1,2) single = zeros(1,2,'single')"),
+    ("raw_data_dimensions", "(1,2) uint32 = zeros(1,2,'uint32')"),
+    ("focal_vector", "(1,2) single = zeros(1,2,'single')"),
+    ("transmit_receive_orientation", "(1,1) uint32 = 0"),
+    ("sample_count", "(1,1) uint32 = 0"),
+    ("channel_count", "(1,1) uint32 = 0"),
+    ("acquisition_count", "(1,1) uint32 = 0"),
+    ("acquisition_kind", "(1,1) uint32 = 0"),
+    ("decode_mode", "(1,1) uint32 = 1"),
+    ("sampling_mode", "(1,1) uint32 = 0"),
+    ("time_offset", "(1,1) single = 0"),
+    ("single_focus", "(1,1) uint32 = 1"),
+    ("single_orientation", "(1,1) uint32 = 1"),
+    ("output_points", "(1,4) int32 = zeros(1,4,'int32')"),
+    ("sampling_frequency", "(1,1) single = 0"),
+    ("demodulation_frequency", "(1,1) single = 0"),
+    ("speed_of_sound", "(1,1) single = 1540"),
+    ("f_number", "(1,1) single = 1"),
+    ("interpolation_mode", "(1,1) uint32 = 1"),
+    ("coherency_weighting", "(1,1) uint32 = 0"),
+    ("decimation_rate", "(1,1) uint32 = 1"),
+    ("contrast_mode", "(1,1) uint32 = 0"),
+    ("emission_kind", "(1,1) uint32 = 0"),
+    ("emission_parameters", "(1,3) single = zeros(1,3,'single')"),
+    ("readi_group_count", "(1,1) uint32 = 0"),
+    ("readi_group", "(1,1) uint32 = 0"),
+    ("channel_mapping", "(1,256) int16 = int16(0:255)"),
+    ("sparse_elements", "(1,256) int16 = zeros(1,256,'int16')"),
+    ("transmit_receive_orientations", "(1,256) uint8 = zeros(1,256,'uint8')"),
+    ("steering_angles", "(1,256) single = zeros(1,256,'single')"),
+    ("focal_depths", "(1,256) single = zeros(1,256,'single')"),
+    ("compute_stages", "(1,16) int32 = zeros(1,16,'int32')"),
+    ("compute_stage_parameters", "(1,16) int32 = zeros(1,16,'int32')"),
+    ("compute_stages_count", "(1,1) uint32 = 0"),
+    ("data_kind", "(1,1) uint32 = 0"),
+]
+
+
 def generate_matlab_bindings() -> dict[str, str]:
     """MATLAB class files mirroring the reference's generated helpers
-    (build.c:5178-5237): enum classes + the parameter struct wrapper."""
+    (build.c:5178-5237): enum classes, the simple-parameters struct class,
+    and a calllib wrapper for the shared library."""
     out = {}
     for e in _ENUMS[:-1]:
         name = "OGLBeamformer" + e.__name__
@@ -255,6 +298,41 @@ def generate_matlab_bindings() -> dict[str, str]:
             lines.append(f"\t\t{ident} ({int(m)})")
         lines += ["\tend", "end"]
         out[name + ".m"] = "\n".join(lines)
+
+    lines = ["classdef OGLBeamformerSimpleParameters", "properties"]
+    for fname, init in _MATLAB_SIMPLE_FIELDS:
+        lines.append(f"\t{fname} {init};")
+    lines += ["end", "methods",
+              "\tfunction bytes = serialize(obj)",
+              "\t\t% Packs fields in BeamformerSimpleParameters layout.",
+              "\t\tbytes = [];",
+              ]
+    for fname, init in _MATLAB_SIMPLE_FIELDS:
+        lines.append(f"\t\tbytes = [bytes, typecast(obj.{fname}, 'uint8')];")
+    lines += ["\tend", "end", "end"]
+    out["OGLBeamformerSimpleParameters.m"] = "\n".join(lines)
+
+    out["OGLBeamformer.m"] = "\n".join([
+        "classdef OGLBeamformer < handle",
+        "% calllib wrapper over libogl_beamformer_tpu (same API surface as",
+        "% the reference's ogl_beamformer MATLAB bindings).",
+        "methods (Static)",
+        "\tfunction load(libpath, hdrpath)",
+        "\t\tif ~libisloaded('libogl_beamformer_tpu')",
+        "\t\t\tloadlibrary(libpath, hdrpath, 'alias', 'libogl_beamformer_tpu');",
+        "\t\tend",
+        "\tend",
+        "\tfunction v = api_version()",
+        "\t\tv = calllib('libogl_beamformer_tpu', 'beamformer_get_api_version');",
+        "\tend",
+        "\tfunction ok = beamform_data(sp, data, out)",
+        "\t\tok = calllib('libogl_beamformer_tpu', 'beamformer_beamform_data', ...",
+        "\t\t\tsp, data, uint32(numel(data) * 2), out, int32(-1));",
+        "\tend",
+        "\tfunction s = last_error()",
+        "\t\ts = calllib('libogl_beamformer_tpu', 'beamformer_get_last_error_string');",
+        "\tend",
+        "end", "end"])
     return out
 
 
