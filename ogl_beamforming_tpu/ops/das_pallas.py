@@ -47,6 +47,7 @@ from .das import DasStatic, make_dynamic, make_static  # noqa: F401
 TILE_SUB = 8
 TILE_LANE = 128
 CHUNK = 128
+_NO_BRANCH = False   # experiment toggle: process all chunks unconditionally
 
 _N_SCALARS = 12
 _SC_FS, _SC_SOS, _SC_T0, _SC_FNUM, _SC_PX, _SC_PY, _SC_FDEMOD, \
@@ -310,8 +311,10 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
 
         # Static chunk loop with predicated skip: every RF load has a static
         # address; pl.when branches away chunks this tile doesn't touch.
+        always = jnp.bool_(True)
         for q in range(nq):
-            @pl.when(any_active & (q >= qmin) & (q <= qmax))
+            cond = always if _NO_BRANCH else                 (any_active & (q >= qmin) & (q <= qmax))
+            @pl.when(cond)
             def _(q=q, j=j, k=k, w_mask=w_mask, taps=taps):
                 base = q * CHUNK
                 # block layout (1, TB, planes, S): plane 0 = re, 1 = im
