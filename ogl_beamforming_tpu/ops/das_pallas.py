@@ -47,7 +47,6 @@ from .das import DasStatic, make_dynamic, make_static  # noqa: F401
 TILE_SUB = 8
 TILE_LANE = 128
 CHUNK = 128
-_NO_BRANCH = False   # experiment toggle: process all chunks unconditionally
 
 _N_SCALARS = 12
 _SC_FS, _SC_SOS, _SC_T0, _SC_FNUM, _SC_PX, _SC_PY, _SC_FDEMOD, \
@@ -309,34 +308,39 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
         if iq:
             acc_im_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
 
-        # Static chunk loop with predicated skip: every RF load has a static
-        # address; pl.when branches away chunks this tile doesn't touch.
-        always = jnp.bool_(True)
-        for q in range(nq):
-            cond = always if _NO_BRANCH else                 (any_active & (q >= qmin) & (q <= qmax))
+        # Static chunk loop, predicated per *group* of chunks: scalar-core
+        # branches cost ~85 cycles each on v5e (measured), so per-chunk
+        # predication loses to unconditional masked gathers; 8-chunk groups
+        # keep the skip for far chunks at 1/8 the branch count.
+        group = min(nq, 8)
+        for g0 in range(0, nq, group):
+            g1 = min(g0 + group, nq)
+            cond = any_active & (g1 - 1 >= qmin) & (g0 <= qmax)
+
             @pl.when(cond)
-            def _(q=q, j=j, k=k, w_mask=w_mask, taps=taps):
-                base = q * CHUNK
-                # block layout (1, TB, planes, S): plane 0 = re, 1 = im
-                src_re = jnp.broadcast_to(
-                    rf_ref[0, j, 0:1, base:base + CHUNK].reshape(1, CHUNK),
-                    (TILE_SUB, CHUNK))
-                if iq:
-                    src_im = jnp.broadcast_to(
-                        rf_ref[0, j, 1:2, base:base + CHUNK].reshape(
-                            1, CHUNK), (TILE_SUB, CHUNK))
+            def _(g0=g0, g1=g1, j=j, k=k, w_mask=w_mask, taps=taps):
                 a_re = acc_re_ref[:]
                 a_im = acc_im_ref[:] if iq else None
-                for off, w in taps:
-                    r = k + off - base
-                    sel = (r >= 0) & (r < CHUNK)
-                    rc = jnp.clip(r, 0, CHUNK - 1)
-                    wsel = jnp.where(sel, w_mask * w, 0.0)
-                    a_re = a_re + wsel * jnp.take_along_axis(src_re, rc,
-                                                             axis=-1)
+                for q in range(g0, g1):
+                    base = q * CHUNK
+                    # block layout (1, TB, planes, S): plane 0=re, 1=im
+                    src_re = jnp.broadcast_to(
+                        rf_ref[0, j, 0:1, base:base + CHUNK].reshape(
+                            1, CHUNK), (TILE_SUB, CHUNK))
                     if iq:
-                        a_im = a_im + wsel * jnp.take_along_axis(src_im, rc,
-                                                                 axis=-1)
+                        src_im = jnp.broadcast_to(
+                            rf_ref[0, j, 1:2, base:base + CHUNK].reshape(
+                                1, CHUNK), (TILE_SUB, CHUNK))
+                    for off, w in taps:
+                        r = k + off - base
+                        sel = (r >= 0) & (r < CHUNK)
+                        rc = jnp.clip(r, 0, CHUNK - 1)
+                        wsel = jnp.where(sel, w_mask * w, 0.0)
+                        a_re = a_re + wsel * jnp.take_along_axis(
+                            src_re, rc, axis=-1)
+                        if iq:
+                            a_im = a_im + wsel * jnp.take_along_axis(
+                                src_im, rc, axis=-1)
                 acc_re_ref[:] = a_re
                 if iq:
                     acc_im_ref[:] = a_im

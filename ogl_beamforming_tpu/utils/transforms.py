@@ -145,3 +145,68 @@ def apply_m4(m: np.ndarray, points: np.ndarray) -> np.ndarray:
     """Apply a 4x4 transform to an ``(..., 3)`` array of points."""
     p = np.asarray(points, np.float32)
     return (p @ np.asarray(m, np.float32)[:3, :3].T) + np.asarray(m, np.float32)[:3, 3]
+
+
+def plane_normal_from_transform(transform: np.ndarray) -> np.ndarray:
+    """Reference: math.c:922-929."""
+    m = np.asarray(transform, np.float32)
+    u = m[:3, 0] / np.linalg.norm(m[:3, 0])
+    v = m[:3, 1] / np.linalg.norm(m[:3, 1])
+    return np.cross(v, u).astype(np.float32)
+
+
+def plane_offset_from_transform(transform: np.ndarray) -> float:
+    """Reference: math.c:931-936."""
+    m = np.asarray(transform, np.float32)
+    return float(np.dot(plane_normal_from_transform(m), m[:3, 3]))
+
+
+def plane_corners_from_transform(transform: np.ndarray):
+    """(min_uv, max_uv) of the plane patch (reference: math.c:938-949)."""
+    m = np.asarray(transform, np.float32)
+    u = m[:3, 0] / np.linalg.norm(m[:3, 0])
+    v = m[:3, 1] / np.linalg.norm(m[:3, 1])
+    lo = apply_m4(m, np.zeros(3, np.float32))
+    hi = apply_m4(m, np.ones(3, np.float32))
+    return (np.array([np.dot(u, lo), np.dot(v, lo)], np.float32),
+            np.array([np.dot(u, hi), np.dot(v, hi)], np.float32))
+
+
+def plane_uv(point, u, v) -> np.ndarray:
+    """Reference: math.c:951-958."""
+    p = np.asarray(point, np.float32)
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    return np.array([np.dot(u, p) / np.dot(u, u),
+                     np.dot(v, p) / np.dot(v, v)], np.float32)
+
+
+def obb_raycast(obb_orientation: np.ndarray, obb_size, obb_center,
+                ray_origin, ray_direction) -> float:
+    """Ray vs oriented bounding box; returns hit distance or -1.
+
+    Reference: math.c:667-711 (slab method) — used for the 3D X-plane view
+    drag interactions; exposed here for viewer tooling.
+    """
+    m = np.asarray(obb_orientation, np.float32)
+    size = np.asarray(obb_size, np.float32)
+    p = np.asarray(obb_center, np.float32) - np.asarray(ray_origin,
+                                                        np.float32)
+    d = np.asarray(ray_direction, np.float32)
+    axes = [m[:3, 0], m[:3, 1], m[:3, 2]]
+    eps = np.finfo(np.float32).eps
+    t = np.zeros(6, np.float32)
+    for i, ax in enumerate(axes):
+        f = float(np.dot(ax, d))
+        e = float(np.dot(ax, p))
+        if abs(f) < 1e-12:
+            if -e - size[i] > 0 or -e + size[i] < 0:
+                return -1.0
+            f = eps
+        t[2 * i] = (e + size[i]) / f
+        t[2 * i + 1] = (e - size[i]) / f
+    tmin = max(min(t[0], t[1]), min(t[2], t[3]), min(t[4], t[5]))
+    tmax = min(max(t[0], t[1]), max(t[2], t[3]), max(t[4], t[5]))
+    if tmax >= 0 and tmin <= tmax:
+        return float(tmin if tmin > 0 else tmax)
+    return -1.0
