@@ -93,14 +93,18 @@ def forces_compounding(channel_count: int = 128, transmit_count: int = 128,
     return p, pipe
 
 
-def uforces_volumetric(channel_count: int = 256, acquisition_count: int = 65,
+def uforces_volumetric(channel_count: int = 256, acquisition_count: int = 64,
                        sample_count: int = 2048, pitch: float = 0.3e-3,
                        output_points=(128, 128, 128),
                        sparse_elements=None,
                        coherency_weighting: bool = True
                        ) -> tuple[Parameters, PipelineSpec, np.ndarray]:
     """3D volumetric uFORCES with sparse transmits + coherency weighting —
-    BASELINE config 4.  Returns (params, pipeline, sparse_elements)."""
+    BASELINE config 4.  Returns (params, pipeline, sparse_elements).
+
+    ``acquisition_count`` must be a valid Hadamard order (decode runs over
+    all acquisitions; DAS skips the first, using the A-1 sparse elements).
+    """
     aperture = (channel_count - 1) * pitch
     vt = das_transform_3d([0.0, -aperture / 2, 5e-3],
                           [aperture, aperture / 2, 45e-3])

@@ -4,7 +4,7 @@ The performance-critical replacement for the XLA-gather DAS in ops/das.py
 (XLA lowers per-voxel gathers to serialized loops on TPU; measured ~100x off
 roofline).  Design, driven by what Mosaic executes fast:
 
-  * Voxels are tiled (8 image rows x 128 axial positions) — sublane = image
+  * Voxels are tiled (16 image rows x 128 axial positions) — sublane = image
     row, lane = consecutive axial voxel.  Depth-local tiles bound each
     tile's delay spread so only ~(span/128 + 1) of the RF line's 128-sample
     chunks contribute.
@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..params.enums import InterpolationMode
 from .das import DasStatic, make_dynamic, make_static  # noqa: F401
 
-TILE_SUB = 8
-TILE_LANE = 128
+TILE_SUB = 16    # image rows per voxel tile (A/B'd 8 vs 16: 16 is ~30% faster)
+TILE_LANE = 128  # axial voxels per tile (= lane count)
 CHUNK = 128
 
 _N_SCALARS = 12

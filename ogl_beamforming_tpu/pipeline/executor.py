@@ -90,10 +90,12 @@ class Beamformer:
     """
 
     def __init__(self, backlog_bytes: int = 1 << 30, voxel_block: int = 65536,
-                 profile: bool = False):
+                 profile: bool = False, mesh=None):
         """``profile=True`` dispatches pipeline stages as separate programs
         and records true per-stage device times into the stats table (at the
-        cost of inter-stage fusion)."""
+        cost of inter-stage fusion).  ``mesh``: a ``jax.sharding.Mesh`` to
+        run channel-sharded across devices (parallel/sharding.py); the
+        channel count must divide the mesh size."""
         self._blocks: list[ParameterBlock] = [ParameterBlock()]
         self._reserved = 1
         self._backlog: list[Frame] = []
@@ -101,6 +103,7 @@ class Beamformer:
         self._frame_id = 0
         self._voxel_block = voxel_block
         self.profile = profile
+        self.mesh = mesh
         self.stats = ComputeStats()
         self.live_parameters = LiveImagingParameters()
         self._live_dirty = 0
@@ -207,6 +210,9 @@ class Beamformer:
                 transmit_receive_orientations=(
                     b.transmit_receive_orientations[:max(a, 1)]),
                 voxel_block=self._voxel_block)
+            if self.mesh is not None:
+                from ..parallel.sharding import shard_plan
+                b._plan = shard_plan(b._plan, self.mesh)
             self.stats.set_stages([sd.kind for sd in b._plan.descriptor.stages])
             b.dirty = False
         return b._plan
@@ -239,6 +245,9 @@ class Beamformer:
     def _compute(self, rf, image_plane_tag, block) -> Frame:
         b = self._block(block)
         plan = self._ensure_plan(b)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_rf
+            rf = shard_rf(np.asarray(rf), self.mesh)
         if self.profile:
             out = rf
             stage_times = []

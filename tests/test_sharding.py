@@ -78,3 +78,20 @@ def test_sharded_channel_count_must_divide():
     plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
     with pytest.raises(ValueError, match="not divisible"):
         shard_plan(plan, make_mesh())
+
+
+def test_executor_with_mesh(rng):
+    """Beamformer session running channel-sharded over the mesh."""
+    p = _params()
+    raw = rng.integers(-1024, 1024, (16, 4 * 256)).astype(np.int16)
+
+    bf1 = Beamformer(voxel_block=128)
+    bf1.push_parameters(p)
+    bf1.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    ref = bf1.push_data_with_compute(raw).to_numpy()
+
+    bf8 = Beamformer(voxel_block=128, mesh=make_mesh())
+    bf8.push_parameters(p)
+    bf8.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    out = bf8.push_data_with_compute(raw).to_numpy()
+    assert nrmse(ref, out) < 1e-5
