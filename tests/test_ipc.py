@@ -151,3 +151,81 @@ def test_client_errors(server, rng):
     assert lib.beamformer_push_data_with_compute(
         raw.ctypes.data_as(ct.c_void_p), raw.nbytes, 0, 0) == 0
     assert lib.beamformer_get_last_error() == int(ErrorKind.DataSizeMismatch)
+
+
+def test_cross_process_c_client(server, rng, tmp_path):
+    """A real compiled C client in a separate process drives the server
+    through the shared-memory ABI — the reference's tests/decode.c shape."""
+    import subprocess
+    from pathlib import Path
+
+    from ogl_beamforming_tpu.params.codegen import write_generated
+
+    repo = Path(__file__).resolve().parent.parent
+    gen = tmp_path / "gen"
+    write_generated(gen)
+    src = tmp_path / "client.c"
+    src.write_text(r'''
+#include "ogl_beamformer_lib.h"
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+int main(void) {
+    if (beamformer_get_api_version() != 33) return 2;
+    BeamformerSimpleParameters sp;
+    memset(&sp, 0, sizeof sp);
+    float eye[16] = {1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,0,1};
+    /* 2D xz transform: lateral 0..2.1mm (col 0), axial 1..8mm (col 1) */
+    float vt[16] = {0.0021f,0,0,0, 0,0,0.007f,0, 0,1,0,0, 0,0,0.001f,1};
+    memcpy(sp.parameters.das_voxel_transform, vt, sizeof vt);
+    memcpy(sp.parameters.xdc_transform, eye, sizeof eye);
+    sp.parameters.xdc_element_pitch[0] = 0.0003f;
+    sp.parameters.xdc_element_pitch[1] = 0.0003f;
+    sp.parameters.raw_data_dimensions[0] = 4 * 256;
+    sp.parameters.raw_data_dimensions[1] = 8;
+    sp.parameters.sample_count = 256;
+    sp.parameters.channel_count = 8;
+    sp.parameters.acquisition_count = 4;
+    sp.parameters.decode_mode = BeamformerDecodeMode_Hadamard;
+    sp.parameters.single_focus = 1;
+    sp.parameters.single_orientation = 1;
+    sp.parameters.output_points[0] = 12;
+    sp.parameters.output_points[1] = 16;
+    sp.parameters.output_points[2] = 1;
+    sp.parameters.sampling_frequency = 20e6f;
+    sp.parameters.speed_of_sound = 1500.0f;
+    sp.parameters.f_number = 0.8f;
+    sp.parameters.interpolation_mode = BeamformerInterpolationMode_Linear;
+    sp.parameters.decimation_rate = 1;
+    for (int i = 0; i < 256; i++) sp.channel_mapping[i] = (int16_t)i;
+    sp.compute_stages[0] = BeamformerShaderKind_Decode;
+    sp.compute_stages[1] = BeamformerShaderKind_DAS;
+    sp.compute_stages_count = 2;
+    sp.data_kind = BeamformerDataKind_Int16;
+
+    int16_t *data = malloc(8 * 4 * 256 * sizeof(int16_t));
+    for (int i = 0; i < 8 * 4 * 256; i++) data[i] = (int16_t)((i * 2654435761u) >> 22);
+    float *out = calloc(12 * 16, sizeof(float));
+    if (!beamformer_beamform_data(&sp, data, 8*4*256*2, out, 30000)) {
+        fprintf(stderr, "beamform failed: %s\n", beamformer_get_last_error_string());
+        return 3;
+    }
+    float peak = 0;
+    for (int i = 0; i < 12 * 16; i++) if (out[i] > peak || -out[i] > peak)
+        peak = out[i] > 0 ? out[i] : -out[i];
+    printf("PEAK %f\n", peak);
+    return peak > 0 ? 0 : 4;
+}
+''')
+    exe = tmp_path / "client"
+    native = repo / "ogl_beamforming_tpu" / "runtime" / "native"
+    subprocess.run(
+        ["cc", str(src), "-I", str(gen), "-L", str(native),
+         "-logl_beamformer_tpu", "-o", str(exe)],
+        check=True, capture_output=True)
+    env = dict(os.environ)
+    env["LD_LIBRARY_PATH"] = str(native)
+    result = subprocess.run([str(exe)], env=env, capture_output=True,
+                            text=True, timeout=60)
+    assert result.returncode == 0, (result.stdout, result.stderr)
+    assert "PEAK" in result.stdout

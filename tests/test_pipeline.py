@@ -243,3 +243,37 @@ def test_decode_mode_none_skips_decode(rng):
         output_points=(12, 16, 1))
     ref = golden.das(raw.reshape(8, 4, 256), dp)
     assert nrmse(ref, frame.to_numpy()) < 1e-3
+
+
+def test_executor_demod_decimation_chain(rng):
+    """Demodulate with decimation_rate=2: sample count and fs quartered."""
+    c, a, s = 8, 4, 512
+    fs, fd = 20e6, 5e6
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(c, a, s)
+    p.decimation_rate = 2
+    bf.push_parameters(p)
+    fp = FilterParameters(kind=FilterKind.Kaiser, sampling_frequency=fs,
+                          kaiser=KaiserFilterParameters(2e6, 4.0, 16))
+    bf.create_filter(fp, filter_slot=0)
+    bf.push_pipeline([ShaderKind.Demodulate, ShaderKind.Decode,
+                      ShaderKind.DAS], DataKind.Int16)
+    raw = rng.integers(-1024, 1024, (c, a * s)).astype(np.int16)
+    frame = bf.push_data_with_compute(raw)
+
+    f = make_filter(fp)
+    rf = raw.reshape(c, a, s)
+    iq = golden.demodulate(rf, f.taps, fd, fs, 2, False)
+    assert iq.shape[-1] == s // 4
+    dec = golden.decode_hadamard(iq, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s // 4, sampling_frequency=fs / 4,
+        demodulation_frequency=fd, speed_of_sound=1500.0,
+        time_offset=f.time_delay,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        output_points=(12, 16, 1))
+    ref = golden.das(dec.astype(np.complex64), dp)
+    assert nrmse(ref, frame.to_numpy()) < 1e-3
