@@ -296,6 +296,23 @@ class Beamformer:
         (lib/ogl_beamformer_lib_base.h:89-103)."""
         return self._backlog[-count:]
 
+    def averaged_frame(self, count: int | None = None, block: int = 0):
+        """Average of the most recent frames (the reference's
+        ``output_points.w`` frame-averaging display path, dormant Sum shader
+        semantics sum.glsl / beamformer_core.c:1026).  ``count`` defaults to
+        the block's ``output_points[3]`` (min 1)."""
+        import jax.numpy as jnp
+        from ..ops.display import sum_frames
+        if count is None:
+            count = max(int(self._block(block).parameters.output_points[3]), 1)
+        frames = self.get_last_frames(count)
+        if not frames:
+            raise BeamformerError(ErrorKind.ExportSpaceOverflow,
+                                  "no frames in backlog")
+        stack = jnp.stack([f.data for f in frames])
+        return Frame(data=sum_frames(stack), id=frames[-1].id,
+                     view_plane=frames[-1].view_plane)
+
     def compute_timings(self):
         """Exported stats table (lib/ogl_beamformer_lib.c:738-754)."""
         return self.stats.table

@@ -242,6 +242,15 @@ def load_library(path: os.PathLike | None = None) -> ct.CDLL:
     lib.bf_server_rf_info.restype = ct.c_uint64
     lib.bf_server_set_export.argtypes = [ct.c_uint64, ct.c_int64]
     lib.bf_server_stats.restype = ct.POINTER(CStatsTable)
+    lib.beamformer_get_live_parameters.restype = \
+        ct.POINTER(CLiveImagingParameters)
+    lib.beamformer_set_live_parameters.argtypes = \
+        [ct.POINTER(CLiveImagingParameters)]
+    lib.beamformer_set_live_parameters.restype = ct.c_uint32
+    lib.beamformer_live_parameters_get_dirty_flag.restype = ct.c_int32
+    lib.bf_server_live.argtypes = [ct.POINTER(ct.POINTER(ct.c_uint32))]
+    lib.bf_server_live.restype = ct.POINTER(CLiveImagingParameters)
+    lib.bf_server_mark_live_dirty.argtypes = [ct.c_uint32]
 
     # ABI consistency: sizes must agree between C and ctypes.
     checks = {

@@ -248,6 +248,22 @@ class BeamformerServer:
             return 0
         return 0
 
+    # -- live imaging bridge (reference: beamformer UI <-> scanner client
+    # via LiveImagingParameters + dirty flags, generated/beamformer.c:443-454)
+
+    def get_live(self) -> abi.CLiveImagingParameters:
+        """Read the live-imaging parameter block shared with clients."""
+        return self.lib.bf_server_live(None).contents
+
+    def set_live(self, dirty_flags: int = 0, **fields):
+        """Update live-imaging parameters and mark dirty flags for clients
+        to poll (the UI-side of the reference's live-control loop)."""
+        live = self.lib.bf_server_live(None).contents
+        for name, value in fields.items():
+            setattr(live, name, value)
+        if dirty_flags:
+            self.lib.bf_server_mark_live_dirty(dirty_flags)
+
     def _publish_stats(self):
         t = self.beamformer.stats.table
         cstats = self.lib.bf_server_stats().contents

@@ -120,7 +120,6 @@ class StreamingSession:
 
     def drain(self):
         """Wait until every submitted frame has completed on device."""
-        self._queue.join() if False else None
         frames = self.beamformer.get_last_frames(1)
         if frames:
             sync(frames[-1].data)

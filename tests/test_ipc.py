@@ -229,3 +229,26 @@ int main(void) {
                             text=True, timeout=60)
     assert result.returncode == 0, (result.stdout, result.stderr)
     assert "PEAK" in result.stdout
+
+
+def test_live_imaging_bridge(server):
+    """Server-side live updates propagate to clients' dirty-flag poll."""
+    from ogl_beamforming_tpu.params.enums import LiveImagingDirtyFlags
+    lib = server.lib
+
+    server.set_live(transmit_power=0.75, active=1,
+                    dirty_flags=int(LiveImagingDirtyFlags.TransmitPower))
+    live = lib.beamformer_get_live_parameters()
+    assert abs(live.contents.transmit_power - 0.75) < 1e-6
+    # client polls one flag at a time (lowest set)
+    flag = lib.beamformer_live_parameters_get_dirty_flag()
+    assert flag == 1  # TransmitPower bit index
+    assert lib.beamformer_live_parameters_get_dirty_flag() == -1
+
+    # client -> server direction
+    live.contents.save_enabled = 1
+    new = abi.CLiveImagingParameters()
+    ct.memmove(ct.byref(new), live, ct.sizeof(new))
+    new.transmit_power = 0.5
+    assert lib.beamformer_set_live_parameters(ct.byref(new)) == 1
+    assert abs(server.get_live().transmit_power - 0.5) < 1e-6

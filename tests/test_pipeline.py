@@ -277,3 +277,18 @@ def test_executor_demod_decimation_chain(rng):
         output_points=(12, 16, 1))
     ref = golden.das(dec.astype(np.complex64), dp)
     assert nrmse(ref, frame.to_numpy()) < 1e-3
+
+
+def test_averaged_frame(rng):
+    bf = Beamformer(voxel_block=128)
+    p = _make_params()
+    p.output_points[3] = 2
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    r1 = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    r2 = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    f1 = bf.push_data_with_compute(r1)
+    f2 = bf.push_data_with_compute(r2)
+    avg = bf.averaged_frame()
+    expect = (f1.to_numpy() + f2.to_numpy()) / 2
+    np.testing.assert_allclose(avg.to_numpy(), expect, rtol=1e-5, atol=1e-6)
