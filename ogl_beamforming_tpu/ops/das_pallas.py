@@ -155,26 +155,43 @@ def _rca_tx_distance_tile(x, y, z, tx_o, angle_deg, depth):
     return jnp.where(tx_o == np.float32(0.0), 0.0, dist)
 
 
-def _forces_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world):
-    """FORCES/UFORCES/READI (das.glsl:286-366): separable rx/tx distances;
-    voxel transform already XDC-premultiplied (beamformer_core.c:760)."""
+def _forces_rx_terms(st, sc, ch, world):
+    """Per-(tile, channel) receive terms of FORCES (das.glsl:296-306):
+    cached in scratch across the transmit loop."""
     x, y, z, in_range = world
     fs, sos, t0, fnum = sc[_SC_FS], sc[_SC_SOS], sc[_SC_T0], sc[_SC_FNUM]
-    px, py = sc[_SC_PX], sc[_SC_PY]
+    px = sc[_SC_PX]
     z2 = z * z
-    ty = y - py * np.float32(st.channel_count / 2.0)
     chf = ch.astype(jnp.float32) + sc[_SC_CH0]
     rx_dx = x - chf * px
     a_arg = jnp.abs(fnum * rx_dx / z)
     mask = (a_arg < 0.5) & in_range
-    apod = _apodize(mask, a_arg) * t1_ref[acq]       # READI weight or 1
+    apod_base = _apodize(mask, a_arg)
     rx_index = (jnp.sqrt(rx_dx * rx_dx + z2) / sos + t0) * fs
+    return rx_index, apod_base, mask
+
+
+def _forces_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
+                  rx_cache=None):
+    """FORCES/UFORCES/READI (das.glsl:286-366): separable rx/tx distances;
+    voxel transform already XDC-premultiplied (beamformer_core.c:760)."""
+    x, y, z, in_range = world
+    fs, sos = sc[_SC_FS], sc[_SC_SOS]
+    py = sc[_SC_PY]
+    z2 = z * z
+    ty = y - py * np.float32(st.channel_count / 2.0)
+    if rx_cache is None:
+        rx_index, apod_base, mask = _forces_rx_terms(st, sc, ch, world)
+    else:
+        rx_index, apod_base, mask = rx_cache
+    apod = apod_base * t1_ref[acq]                   # READI weight or 1
     tx_dx = x - t0_ref[acq]                          # element x position
     tx_index = jnp.sqrt(ty * ty + z2 + tx_dx * tx_dx) * (fs / sos)
     return rx_index + tx_index, apod, mask
 
 
-def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world):
+def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
+                    rx_cache=None):
     """HERCULES family (das.glsl:231-284): 2D apodization over the rx/tx
     element grid, shared acquisition-0 transmit."""
     wx, wy, wz, in_range = world
@@ -201,7 +218,8 @@ def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world):
     return index, apod, mask
 
 
-def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world):
+def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
+               rx_cache=None):
     """Flash/TPW/VLS (das.glsl:202-229): per-acquisition orientation +
     focal vector.  t0_ref interleaves [tx*16+rx, angle_degrees] per
     acquisition; t1_ref holds focal depths (inf = plane wave)."""
@@ -238,7 +256,7 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 
 def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
                 vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref, out_in_ref,
-                acc_re_ref, acc_im_ref, world_ref):
+                acc_re_ref, acc_im_ref, world_ref, rx_ref):
     """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
     transmits are processed per step to amortize world-point/output traffic
     and grid overhead."""
@@ -263,6 +281,19 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
 
     world = (world_ref[0], world_ref[1], world_ref[2], world_ref[3] > 0.5)
 
+    # Receive terms are a pure function of (tile, channel): cache them in
+    # scratch when a new channel begins (the transmit-block dim is innermost).
+    rx_cache = None
+    if st.family == "forces":
+        @pl.when(blk == 0)
+        def _():
+            rx_index, apod_base, mask = _forces_rx_terms(
+                st, scalars_ref, ch, world)
+            rx_ref[0] = rx_index
+            rx_ref[1] = apod_base
+            rx_ref[2] = mask.astype(jnp.float32)
+        rx_cache = (rx_ref[0], rx_ref[1], rx_ref[2] > 0.5)
+
     @pl.when(first)
     def _():
         out_re_ref[:] = jnp.zeros_like(out_re_ref)
@@ -278,7 +309,8 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
     for j in range(tx_block):
         acq = blk * tx_block + j
         index, apod, mask = _DELAY[st.family](
-            st, scalars_ref, t0_ref, t1_ref, xdc_ref, ch, acq, world)
+            st, scalars_ref, t0_ref, t1_ref, xdc_ref, ch, acq, world,
+            rx_cache=rx_cache)
 
         if st.interpolation_mode == InterpolationMode.Nearest:
             k = jnp.floor(index + 0.5).astype(jnp.int32)
@@ -423,6 +455,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((4, TILE_SUB, TILE_LANE), jnp.float32),
+            pltpu.VMEM((3, TILE_SUB, TILE_LANE), jnp.float32),
         ],
     )
 
