@@ -190,24 +190,43 @@ def _forces_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     return rx_index + tx_index, apod, mask
 
 
-def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
-                    rx_cache=None):
-    """HERCULES family (das.glsl:231-284): 2D apodization over the rx/tx
-    element grid, shared acquisition-0 transmit."""
-    wx, wy, wz, in_range = world
+def _hercules_tile_terms(st, sc, xdc_ref, world):
+    """Per-tile terms of HERCULES (das.glsl:238-245): XDC-space coordinates,
+    acquisition-0 transmit index, f-number terms — cached in scratch."""
+    wx, wy, wz, _ = world
     fs, sos, t0, fnum = sc[_SC_FS], sc[_SC_SOS], sc[_SC_T0], sc[_SC_FNUM]
-    px, py = sc[_SC_PX], sc[_SC_PY]
-    rx_cols = sc[_SC_RX_FLAG]
     xw, yw, zw = _apply_m4_tile(xdc_ref, wx, wy, wz)
     tx_index0 = (_rca_tx_distance_tile(
         wx, wy, wz, sc[_SC_TX_O], sc[_SC_TX_ANGLE], sc[_SC_TX_DEPTH])
         / sos + t0) * fs
-    z2 = zw * zw
     fnum_over_z = jnp.abs(fnum / zw)
-    apod_test = 0.25 / (fnum_over_z * fnum_over_z)
+    return xw, yw, zw, tx_index0, fnum_over_z
+
+
+def _hercules_rx_d2(st, sc, ch, xw, yw):
+    """Per-(tile, channel) receive distance^2 (das.glsl:252-258)."""
+    rx_cols = sc[_SC_RX_FLAG]
     chf = ch.astype(jnp.float32) + sc[_SC_CH0]
-    rx_d2 = jnp.where(rx_cols > 0.5, (xw - chf * px) ** 2,
-                      (yw - chf * py) ** 2)
+    return jnp.where(rx_cols > 0.5, (xw - chf * sc[_SC_PX]) ** 2,
+                     (yw - chf * sc[_SC_PY]) ** 2)
+
+
+def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
+                    rx_cache=None):
+    """HERCULES family (das.glsl:231-284): 2D apodization over the rx/tx
+    element grid, shared acquisition-0 transmit."""
+    _, _, _, in_range = world
+    fs, sos = sc[_SC_FS], sc[_SC_SOS]
+    px, py = sc[_SC_PX], sc[_SC_PY]
+    rx_cols = sc[_SC_RX_FLAG]
+    if rx_cache is None:
+        xw, yw, zw, tx_index0, fnum_over_z = _hercules_tile_terms(
+            st, sc, xdc_ref, world)
+        rx_d2 = _hercules_rx_d2(st, sc, ch, xw, yw)
+    else:
+        xw, yw, zw, tx_index0, fnum_over_z, rx_d2 = rx_cache
+    z2 = zw * zw
+    apod_test = 0.25 / (fnum_over_z * fnum_over_z)
     tx_chf = t0_ref[acq]
     tx_d2 = jnp.where(rx_cols > 0.5, (yw - tx_chf * py) ** 2,
                       (xw - tx_chf * px) ** 2)
@@ -256,7 +275,7 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 
 def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
                 vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref, out_in_ref,
-                acc_re_ref, acc_im_ref, world_ref, rx_ref):
+                acc_re_ref, acc_im_ref, world_ref, rx_ref, herc_ref):
     """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
     transmits are processed per step to amortize world-point/output traffic
     and grid overhead."""
@@ -293,6 +312,24 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
             rx_ref[1] = apod_base
             rx_ref[2] = mask.astype(jnp.float32)
         rx_cache = (rx_ref[0], rx_ref[1], rx_ref[2] > 0.5)
+    elif st.family == "hercules":
+        # tile-level terms at tile start, rx term per channel
+        @pl.when(first)
+        def _():
+            xw, yw, zw, tx_index0, fnum_over_z = _hercules_tile_terms(
+                st, scalars_ref, xdc_ref, world)
+            herc_ref[0] = xw
+            herc_ref[1] = yw
+            herc_ref[2] = zw
+            herc_ref[3] = tx_index0
+            herc_ref[4] = fnum_over_z
+
+        @pl.when(blk == 0)
+        def _():
+            rx_ref[0] = _hercules_rx_d2(st, scalars_ref, ch,
+                                        herc_ref[0], herc_ref[1])
+        rx_cache = (herc_ref[0], herc_ref[1], herc_ref[2], herc_ref[3],
+                    herc_ref[4], rx_ref[0])
 
     @pl.when(first)
     def _():
@@ -456,6 +493,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((4, TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((3, TILE_SUB, TILE_LANE), jnp.float32),
+            pltpu.VMEM((5, TILE_SUB, TILE_LANE), jnp.float32),
         ],
     )
 
