@@ -1,0 +1,224 @@
+"""Live browser viewer: frame views, compute stats, live-imaging controls.
+
+The interactive counterpart of the reference's raylib/Vulkan UI (ui.c):
+frame views with dB-range/gamma controls, the ComputeBarGraph/ComputeStats
+panels, and LiveImagingControls — served as a small zero-dependency HTTP
+app (stdlib ``http.server``) that any browser can attach to while the
+beamformer streams.  Rendering reuses the display transfer function of
+render_3d.frag.glsl:61-70 via ops/display.py.
+
+Usage::
+
+    from ogl_beamforming_tpu.viewer_web import LiveView
+    view = LiveView(beamformer).start()       # http://localhost:8765
+    ...
+    view.stop()
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from .params.enums import LiveImagingDirtyFlags
+from .viewer import bmode_image
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (no external deps).
+
+    ``img``: 2-D float in [0, 1] or uint8.
+    """
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    h, w = img.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+_PAGE = """<!doctype html>
+<html><head><title>ogl_beamforming_tpu</title>
+<style>
+ body { background:#111; color:#ddd; font-family:monospace; margin:1em; }
+ .row { display:flex; gap:2em; align-items:flex-start; }
+ img { image-rendering:pixelated; border:1px solid #444; max-height:80vh; }
+ .bar { background:#2a6; height:12px; margin:2px 0; }
+ label { display:block; margin-top:.5em; }
+ table { border-collapse:collapse; } td { padding:2px 8px; }
+</style></head><body>
+<h3>ogl_beamforming_tpu &mdash; live view</h3>
+<div class="row">
+ <div>
+  <img id="frame" width="512"/>
+  <label>dB cutoff <input id="db" type="range" min="-100" max="-10"
+    value="-60"/> <span id="dbv">-60</span></label>
+  <label>gamma <input id="gamma" type="range" min="20" max="300"
+    value="100"/> <span id="gv">1.0</span></label>
+  <label>plane <select id="plane"><option>xz</option><option>yz</option>
+    <option>xy</option></select></label>
+ </div>
+ <div>
+  <h4>compute stats</h4><div id="stats"></div>
+  <h4>live controls</h4>
+  <label>transmit power <input id="power" type="range" min="0" max="100"
+    value="50"/></label>
+  <button id="stop">stop imaging</button>
+ </div>
+</div>
+<script>
+const db = document.getElementById('db'), gamma = document.getElementById('gamma');
+const plane = document.getElementById('plane');
+async function refresh() {
+  document.getElementById('dbv').textContent = db.value;
+  document.getElementById('gv').textContent = (gamma.value/100).toFixed(2);
+  const img = document.getElementById('frame');
+  img.src = `/frame.png?db=${db.value}&gamma=${gamma.value/100}` +
+            `&plane=${plane.value}&t=${Date.now()}`;
+  const st = await (await fetch('/stats.json')).json();
+  const el = document.getElementById('stats');
+  el.innerHTML = '<table>' + st.stages.map(s =>
+    `<tr><td>${s.name}</td><td>${(s.avg_ms).toFixed(2)} ms</td>` +
+    `<td><div class="bar" style="width:${Math.min(200, s.avg_ms*20)}px">` +
+    `</div></td></tr>`).join('') +
+    `<tr><td>frame</td><td>${st.frame_ms.toFixed(2)} ms</td></tr>` +
+    `<tr><td>rf delta</td><td>${st.rf_delta_ms.toFixed(2)} ms</td></tr>` +
+    '</table>';
+}
+setInterval(refresh, 500); refresh();
+document.getElementById('power').onchange = (e) =>
+  fetch('/live', {method:'POST', body:JSON.stringify(
+    {transmit_power: e.target.value/100})});
+document.getElementById('stop').onclick = () =>
+  fetch('/live', {method:'POST', body:JSON.stringify({stop: true})});
+</script></body></html>
+"""
+
+
+class LiveView:
+    """HTTP live view over a :class:`..pipeline.executor.Beamformer`."""
+
+    def __init__(self, beamformer, host: str = "127.0.0.1", port: int = 8765):
+        self.beamformer = beamformer
+        self.host = host
+        self.port = port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- data accessors (also used by tests) ----------------------------
+
+    def frame_png(self, db_cutoff=-60.0, gamma=1.0, plane="xz") -> bytes:
+        frames = self.beamformer.get_last_frames(1)
+        if not frames:
+            return encode_png_gray(np.zeros((16, 16), np.uint8))
+        img = bmode_image(frames[-1], plane=plane, db_cutoff=db_cutoff,
+                          gamma=gamma)
+        return encode_png_gray(img)
+
+    def stats_json(self) -> dict:
+        from .params.enums import ShaderKind
+        stats = self.beamformer.stats
+        avgs = stats.average_times()
+        stages = []
+        for i, sid in enumerate(stats.table.shader_ids):
+            if sid < 0:
+                break
+            stages.append({"name": ShaderKind(int(sid)).name,
+                           "avg_ms": float(avgs[i]) * 1e3})
+        return {"stages": stages,
+                "frame_ms": stats.average_frame_time() * 1e3,
+                "rf_delta_ms": stats.average_rf_delta() * 1e3}
+
+    def apply_live(self, body: dict) -> dict:
+        live = self.beamformer.live_parameters
+        flags = 0
+        if "transmit_power" in body:
+            live.transmit_power = float(body["transmit_power"])
+            flags |= LiveImagingDirtyFlags.TransmitPower
+        if body.get("stop"):
+            live.active = 0
+            flags |= LiveImagingDirtyFlags.StopImaging
+        self.beamformer.set_live_parameters(live, int(flags))
+        return {"ok": True, "flags": int(flags)}
+
+    # -- server ---------------------------------------------------------
+
+    def start(self):
+        view = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _send(self, code, ctype, body: bytes):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                if url.path == "/":
+                    self._send(200, "text/html", _PAGE.encode())
+                elif url.path == "/frame.png":
+                    png = view.frame_png(
+                        db_cutoff=float(q.get("db", -60)),
+                        gamma=float(q.get("gamma", 1.0)),
+                        plane=q.get("plane", "xz"))
+                    self._send(200, "image/png", png)
+                elif url.path == "/stats.json":
+                    self._send(200, "application/json",
+                               json.dumps(view.stats_json()).encode())
+                elif url.path == "/live":
+                    import dataclasses
+                    live = view.beamformer.live_parameters
+                    payload = {f.name: getattr(live, f.name)
+                               for f in dataclasses.fields(live)
+                               if not isinstance(getattr(live, f.name),
+                                                 np.ndarray)}
+                    self._send(200, "application/json",
+                               json.dumps(payload).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+            def do_POST(self):
+                if urlparse(self.path).path == "/live":
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    self._send(200, "application/json",
+                               json.dumps(view.apply_live(body)).encode())
+                else:
+                    self._send(404, "text/plain", b"not found")
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="live-view")
+        self._thread.start()
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}/"
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
