@@ -247,3 +247,111 @@ def save_zbp_v1(path, z: ZbpFile):
     if z.data is not None:
         out += np.asarray(z.data, np.int16).tobytes()
     Path(path).write_bytes(bytes(out))
+
+
+def save_zbp_v2(path, z: ZbpFile, compress: bool = True):
+    """Write a V2 file with offset-linked sub-tables (zemp_bp.h:119-146).
+
+    Supports the acquisition-parameter blocks for FORCES/UFORCES (transmit
+    focus + sparse elements) and RCA TPW/VLS (angle/depth tables), emission
+    descriptors, and zstd-compressed raw data.
+    """
+    head_fmt = "<QII4Iiii iif f f i III 16f 2f f f f i i i i i".replace(" ", "")
+    head_size = struct.calcsize(head_fmt)
+
+    def align(n):
+        return (n + 3) & ~3
+
+    tail = bytearray()
+    offsets = {}
+
+    def append(tag, payload: bytes) -> int:
+        off = head_size + len(tail)
+        tail.extend(payload)
+        tail.extend(b"\x00" * (align(len(tail)) - len(tail)))
+        offsets[tag] = off
+        return off
+
+    channel_mapping_offset = 0
+    if z.channel_mapping is not None:
+        channel_mapping_offset = append(
+            "chmap", np.asarray(z.channel_mapping[:z.channel_count],
+                                np.int16).tobytes())
+
+    acq_params_offset = 0
+    kind = z.acquisition_kind
+    if kind in (AcquisitionKind.FORCES, AcquisitionKind.UFORCES,
+                AcquisitionKind.HERCULES, AcquisitionKind.UHERCULES):
+        tf = z.transmit_focus or RCATransmitFocus()
+        blob = struct.pack("<3fI", tf.focal_depth, tf.steering_angle,
+                           tf.origin_offset,
+                           tf.transmit_receive_orientation)
+        if kind in (AcquisitionKind.UFORCES, AcquisitionKind.UHERCULES):
+            sparse_off = 0
+            if z.sparse_elements is not None:
+                sparse_off = append(
+                    "sparse",
+                    np.asarray(z.sparse_elements[:z.receive_event_count],
+                               np.int16).tobytes())
+            blob += struct.pack("<i", sparse_off)
+        acq_params_offset = append("acq", blob)
+    elif kind == AcquisitionKind.RCA_TPW:
+        angles_off = append("angles", np.asarray(
+            z.steering_angles[:z.receive_event_count], np.float32).tobytes()) \
+            if z.steering_angles is not None else 0
+        tro_off = 0
+        if z.transmit_receive_orientations is not None:
+            tro_off = append("tro", np.asarray(
+                z.transmit_receive_orientations[:z.receive_event_count],
+                np.uint32).tobytes())
+        acq_params_offset = append("acq", struct.pack("<2i", angles_off,
+                                                      tro_off))
+    elif kind == AcquisitionKind.RCA_VLS:
+        fd_off = append("depths", np.asarray(
+            z.focal_depths[:z.receive_event_count], np.float32).tobytes()) \
+            if z.focal_depths is not None else 0
+        tro_off = 0
+        if z.transmit_receive_orientations is not None:
+            tro_off = append("tro", np.asarray(
+                z.transmit_receive_orientations[:z.receive_event_count],
+                np.uint32).tobytes())
+        acq_params_offset = append("acq", struct.pack("<3i", fd_off, 0,
+                                                      tro_off))
+
+    emission_desc_offset = 0
+    if z.emissions:
+        em = z.emissions[0]
+        if em.get("kind") == 1:
+            em_params = append("emp", struct.pack(
+                "<3f", em.get("duration", 0.0), em.get("min_frequency", 0.0),
+                em.get("max_frequency", 0.0)))
+        else:
+            em_params = append("emp", struct.pack(
+                "<2f", em.get("cycles", 0.0), em.get("frequency", 0.0)))
+        emission_desc_offset = append(
+            "emd", struct.pack("<2i", em.get("kind", 0), em_params))
+
+    raw_data_offset = 0
+    compression = 0
+    if z.data is not None:
+        payload = np.asarray(z.data).tobytes()
+        if compress:
+            import zstandard
+            payload = zstandard.ZstdCompressor(level=3).compress(payload)
+            compression = 1
+        raw_data_offset = append("raw", payload)
+
+    head = struct.pack(
+        head_fmt, ZBP_MAGIC, 2, 0,
+        *[int(v) for v in z.raw_data_dimension],
+        int(z.data_kind), raw_data_offset, compression,
+        int(z.decode_mode), int(z.sampling_mode),
+        z.sampling_frequency, z.demodulation_frequency, z.speed_of_sound,
+        channel_mapping_offset,
+        z.sample_count, z.channel_count, z.receive_event_count,
+        *np.asarray(z.xdc_transform, np.float32).T.ravel().tolist(),
+        *np.asarray(z.xdc_element_pitch, np.float32).tolist(),
+        z.time_offset, 0.0, 0.0,
+        int(z.acquisition_kind), acq_params_offset,
+        0, 0, emission_desc_offset)
+    Path(path).write_bytes(head + bytes(tail))

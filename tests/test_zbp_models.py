@@ -78,3 +78,39 @@ def test_from_zbp_config(tmp_path, rng):
     validate_pipeline(pipe.shaders, pipe.data_kind)
     assert pipe.shaders == [ShaderKind.Decode, ShaderKind.DAS]
     assert p.channel_count == 8
+
+
+def test_zbp_v2_roundtrip(tmp_path, rng):
+    from ogl_beamforming_tpu.utils.zbp import RCATransmitFocus, save_zbp_v2
+    c, a, s = 8, 4, 64
+    data = rng.integers(-1000, 1000, c * a * s).astype(np.int16)
+    z = ZbpFile(
+        version=(2, 0), raw_data_dimension=(a * s, c, 1, 1),
+        data_kind=DataKind.Int16, decode_mode=DecodeMode.Hadamard,
+        sampling_mode=0, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1480.0,
+        sample_count=s, channel_count=c, receive_event_count=a,
+        xdc_transform=np.eye(4, dtype=np.float32),
+        xdc_element_pitch=np.array([3e-4, 3e-4], np.float32),
+        time_offset=1e-6, acquisition_kind=AcquisitionKind.UFORCES,
+        channel_mapping=np.arange(c, dtype=np.int16),
+        sparse_elements=np.array([1, 3, 5, 7], np.int16),
+        data=data)
+    z.transmit_focus = RCATransmitFocus(0.02, 5.0, 0.0, 0x21)
+    z.emissions = [{"kind": 1, "duration": 2e-6, "min_frequency": 2e6,
+                    "max_frequency": 8e6}]
+    path = tmp_path / "v2.zbp"
+    save_zbp_v2(path, z, compress=True)
+    back = load_zbp(path)
+    assert back.version[0] == 2
+    assert back.acquisition_kind == AcquisitionKind.UFORCES
+    assert back.sample_count == s and back.channel_count == c
+    np.testing.assert_array_equal(back.channel_mapping,
+                                  np.arange(c, dtype=np.int16))
+    np.testing.assert_array_equal(back.sparse_elements,
+                                  np.array([1, 3, 5, 7], np.int16))
+    assert back.transmit_focus.steering_angle == np.float32(5.0)
+    assert back.transmit_focus.transmit_receive_orientation == 0x21
+    assert back.emissions[0]["kind"] == 1
+    assert back.emissions[0]["max_frequency"] == np.float32(8e6)
+    np.testing.assert_array_equal(back.data[:data.size], data)
