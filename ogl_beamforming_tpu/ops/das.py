@@ -61,6 +61,10 @@ class DasStatic:
     backend: str = "xla"
     """Kernel backend: "xla" (gather-based, runs everywhere), "pallas"
     (Mosaic TPU kernel, ops/das_pallas.py), "pallas_interpret" (testing)."""
+    global_points: tuple[int, int, int] | None = None
+    """Full output grid when this kernel computes only a slab of it (voxel
+    sharding, parallel/sharding.py): normalized voxel coordinates use these
+    denominators while output_points stays the local slab shape."""
     grid_channels: int = 0
     """Kernel-grid channel count when != channel_count: the per-shard local
     channel count under channel-axis sharding (parallel/sharding.py) —
@@ -108,6 +112,7 @@ def make_dynamic(p: DasParams) -> dict:
         "sparse_elements": jnp.asarray(sparse, jnp.int32),
         "hadamard_row": jnp.asarray(hrow, jnp.float32),
         "channel_offset": jnp.int32(0),
+        "x_offset": jnp.int32(0),
     }
 
 
@@ -133,12 +138,14 @@ def make_static(p: DasParams, iq: bool, voxel_block: int = 16384) -> DasStatic:
 
 def _world_points(st: DasStatic, dyn) -> jax.Array:
     """Normalized voxel grid -> world points, flattened (V, 3)
-    (das.glsl:368-376).  x is the fastest-varying output axis to match the
-    reference's ``output_index`` linearization (das.glsl:130-134) — the
-    result is reshaped to (nx, ny, nz) C-order at the end instead."""
+    (das.glsl:368-376).  With ``global_points`` set, this instance computes
+    the slab starting at ``dyn["x_offset"]`` of the full grid."""
     nx, ny, nz = st.output_points
-    denom = jnp.maximum(jnp.array([nx, ny, nz], jnp.float32) - 1.0, 1.0)
-    gx = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0) / denom[0]
+    gnx, gny, gnz = st.global_points or (nx, ny, nz)
+    denom = jnp.maximum(jnp.array([gnx, gny, gnz], jnp.float32) - 1.0, 1.0)
+    x_off = dyn.get("x_offset", jnp.int32(0)).astype(jnp.float32)
+    gx = (jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 0)
+          + x_off) / denom[0]
     gy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1) / denom[1]
     gz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2) / denom[2]
     p = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)

@@ -48,9 +48,9 @@ TILE_SUB = 16    # image rows per voxel tile (A/B'd 8 vs 16: 16 is ~30% faster)
 TILE_LANE = 128  # axial voxels per tile (= lane count)
 CHUNK = 128
 
-_N_SCALARS = 12
+_N_SCALARS = 13
 _SC_FS, _SC_SOS, _SC_T0, _SC_FNUM, _SC_PX, _SC_PY, _SC_FDEMOD, \
-    _SC_RX_FLAG, _SC_TX_O, _SC_TX_ANGLE, _SC_TX_DEPTH, _SC_CH0 = \
+    _SC_RX_FLAG, _SC_TX_O, _SC_TX_ANGLE, _SC_TX_DEPTH, _SC_CH0, _SC_X0 = \
     range(_N_SCALARS)
 
 
@@ -76,10 +76,12 @@ def _n_row_tiles(st: DasStatic) -> int:
     return _cdiv(_axes(st)[0], TILE_SUB)
 
 
-def _tile_world_points(st: DasStatic, tile_idx, vt):
+def _tile_world_points(st: DasStatic, tile_idx, vt, x_off=None):
     """World xyz for this tile's voxels, each (TILE_SUB, TILE_LANE)
-    (das.glsl:368-376 voxel -> world)."""
+    (das.glsl:368-376 voxel -> world).  ``x_off`` shifts the x index when
+    this kernel computes a slab of a larger grid (voxel sharding)."""
     nx, ny, nz = st.output_points
+    gnx, gny, gnz = st.global_points or (nx, ny, nz)
     n_rows, n_lanes = _axes(st)
     zt = _n_z_tiles(st)
     row_tile = tile_idx // zt
@@ -96,9 +98,12 @@ def _tile_world_points(st: DasStatic, tile_idx, vt):
         iz = jnp.zeros_like(lane)
         iy = lane
         ix = row
-    px = ix.astype(jnp.float32) / np.float32(max(nx - 1, 1))
-    py = iy.astype(jnp.float32) / np.float32(max(ny - 1, 1))
-    pz = iz.astype(jnp.float32) / np.float32(max(nz - 1, 1))
+    pxv = ix.astype(jnp.float32)
+    if x_off is not None:
+        pxv = pxv + x_off
+    px = pxv / np.float32(max(gnx - 1, 1))
+    py = iy.astype(jnp.float32) / np.float32(max(gny - 1, 1))
+    pz = iz.astype(jnp.float32) / np.float32(max(gnz - 1, 1))
     x = vt[0, 0] * px + vt[0, 1] * py + vt[0, 2] * pz + vt[0, 3]
     y = vt[1, 0] * px + vt[1, 1] * py + vt[1, 2] * pz + vt[1, 3]
     z = vt[2, 0] * px + vt[2, 1] * py + vt[2, 2] * pz + vt[2, 3]
@@ -292,7 +297,8 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
     # new tile begins (scratch persists across the channel x transmit loop).
     @pl.when(first)
     def _():
-        wx, wy, wz, win = _tile_world_points(st, tile, vt_ref)
+        wx, wy, wz, win = _tile_world_points(st, tile, vt_ref,
+                                             scalars_ref[_SC_X0])
         world_ref[0] = wx
         world_ref[1] = wy
         world_ref[2] = wz
@@ -561,6 +567,7 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
         _SC_PY: dyn["xdc_element_pitch"][1],
         _SC_FDEMOD: dyn["demodulation_frequency"],
         _SC_CH0: dyn.get("channel_offset", 0),
+        _SC_X0: dyn.get("x_offset", 0),
     }
 
     if family == "rca":

@@ -109,3 +109,95 @@ def rf_sharding(mesh: Mesh, axis_name: str = CHANNEL_AXIS) -> NamedSharding:
 
 def shard_rf(rf, mesh: Mesh, axis_name: str = CHANNEL_AXIS):
     return jax.device_put(rf, rf_sharding(mesh, axis_name))
+
+
+SLAB_AXIS = "slabs"
+
+
+def make_mesh_2d(channel_devices: int, slab_devices: int, devices=None,
+                 channel_axis: str = CHANNEL_AXIS,
+                 slab_axis: str = SLAB_AXIS) -> Mesh:
+    """2D mesh: channel axis (psum-reduced DAS accumulation) x slab axis
+    (independent voxel slabs of the output volume)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: channel_devices * slab_devices])
+    return Mesh(devices.reshape(channel_devices, slab_devices),
+                (channel_axis, slab_axis))
+
+
+@lru_cache(maxsize=32)
+def _sharded_fn_2d(desc: PlanDescriptor, mesh: Mesh, channel_axis: str,
+                   slab_axis: str):
+    """Channel x slab sharding: each device beamforms its x-slab of the
+    output from its channel shard; partial volumes psum over the channel
+    axis (ICI all-reduce), slabs concatenate without communication."""
+    import dataclasses as _dc
+    n_ch = mesh.shape[channel_axis]
+    n_slab = mesh.shape[slab_axis]
+    if desc.channel_count % n_ch:
+        raise ValueError(f"channel count {desc.channel_count} not divisible "
+                         f"by {n_ch} devices")
+    local_channels = desc.channel_count // n_ch
+
+    das_static = next(sd.das for sd in desc.stages if sd.das is not None)
+    gnx, gny, gnz = das_static.output_points
+    if gnx % n_slab:
+        raise ValueError(f"output x extent {gnx} not divisible by "
+                         f"{n_slab} slabs")
+    nx_local = gnx // n_slab
+
+    stages = tuple(
+        _dc.replace(sd, das=_dc.replace(
+            sd.das, grid_channels=local_channels,
+            output_points=(nx_local, gny, gnz),
+            global_points=(gnx, gny, gnz)))
+        if sd.das is not None else sd
+        for sd in desc.stages)
+    local_desc = _dc.replace(desc, stages=stages)
+
+    def worker(rf_shard, dyn):
+        ch_offset = jax.lax.axis_index(channel_axis) * local_channels
+        x_offset = jax.lax.axis_index(slab_axis) * nx_local
+        dyn = dict(dyn)
+        if "das" in dyn and dyn["das"]:
+            das_dyn = dict(dyn["das"])
+            das_dyn["channel_offset"] = ch_offset.astype(jnp.int32)
+            das_dyn["x_offset"] = x_offset.astype(jnp.int32)
+            dyn["das"] = das_dyn
+        out = compose_stages(local_desc, rf_shard, dyn,
+                             skip_coherency_normalize=True)
+        return jax.tree.map(lambda v: jax.lax.psum(v, channel_axis), out)
+
+    out_spec = (P(slab_axis), P(slab_axis)) if desc.coherency_weighting \
+        else P(slab_axis)
+    mapped = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(channel_axis, None, None), P()),
+        out_specs=out_spec,
+        check_vma=False)
+
+    def run(rf, dyn):
+        out = mapped(rf, dyn)
+        if desc.coherency_weighting:
+            coh, inco = out
+            return coherency_weighting.__wrapped__(coh, inco, 1.0)
+        return out
+
+    return jax.jit(run)
+
+
+def shard_plan_2d(plan: CompiledPlan, mesh: Mesh,
+                  channel_axis: str = CHANNEL_AXIS,
+                  slab_axis: str = SLAB_AXIS) -> CompiledPlan:
+    """Run the plan over a 2D (channels x slabs) mesh: DAS accumulation
+    reduces over the channel axis while output x-slabs stay device-local —
+    the scale-out shape for volumes larger than one chip's throughput."""
+    import dataclasses
+    fn = _sharded_fn_2d(plan.descriptor, mesh, channel_axis, slab_axis)
+    return dataclasses.replace(plan, fn=fn)
+
+
+def shard_rf_2d(rf, mesh: Mesh, channel_axis: str = CHANNEL_AXIS):
+    return jax.device_put(
+        rf, NamedSharding(mesh, P(channel_axis, None, None)))

@@ -95,3 +95,32 @@ def test_executor_with_mesh(rng):
     bf8.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
     out = bf8.push_data_with_compute(raw).to_numpy()
     assert nrmse(ref, out) < 1e-5
+
+
+def test_sharded_2d_mesh_matches_single(rng):
+    """channels x slabs mesh: psum over channels, slab-local output."""
+    from ogl_beamforming_tpu.parallel.sharding import (make_mesh_2d,
+                                                       shard_plan_2d,
+                                                       shard_rf_2d)
+    p = _params(c=16, nx=16, nz=32)
+    plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    rf = rng.integers(-1024, 1024, (16, 4, 256)).astype(np.int16)
+    ref = np.asarray(plan(rf))
+
+    mesh = make_mesh_2d(4, 2)
+    out = np.asarray(shard_plan_2d(plan, mesh)(shard_rf_2d(rf, mesh)))
+    assert out.shape == ref.shape
+    assert nrmse(ref, out) < 1e-5
+
+
+def test_sharded_2d_coherency(rng):
+    from ogl_beamforming_tpu.parallel.sharding import (make_mesh_2d,
+                                                       shard_plan_2d,
+                                                       shard_rf_2d)
+    p = _params(c=16, nx=16, nz=32, coherency_weighting=True)
+    plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    rf = rng.integers(-1024, 1024, (16, 4, 256)).astype(np.int16)
+    ref = np.asarray(plan(rf))
+    mesh = make_mesh_2d(2, 4)
+    out = np.asarray(shard_plan_2d(plan, mesh)(shard_rf_2d(rf, mesh)))
+    assert nrmse(ref, out) < 1e-5
