@@ -46,10 +46,11 @@ def invalidate_compiled(beamformers=()):
             block._plan = None
 
 
-def reload_ops(beamformers=()):
-    """Reload the op modules then invalidate compiled state."""
+def reload_ops(beamformers=(), names=None):
+    """Reload the given op modules (all watched ones by default) then
+    invalidate compiled state."""
     import sys
-    for name in _WATCHED_MODULES:
+    for name in (names if names is not None else _WATCHED_MODULES):
         if name in sys.modules:
             importlib.reload(sys.modules[name])
     invalidate_compiled(beamformers)
@@ -66,7 +67,7 @@ class SourceWatcher:
         self._mtimes: dict[Path, float] = {}
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
-        for path in self._paths():
+        for _, path in self._paths():
             self._mtimes[path] = path.stat().st_mtime
 
     def _paths(self):
@@ -76,21 +77,23 @@ class SourceWatcher:
             if mod is None:
                 importlib.import_module(name)
                 mod = sys.modules[name]
-            yield Path(mod.__file__)
+            yield name, Path(mod.__file__)
 
     def poll_once(self) -> bool:
-        """Check mtimes; reload on change.  Returns True if reloaded."""
-        changed = False
-        for path in self._paths():
+        """Check mtimes; reload changed modules.  Returns True if any
+        reloaded (only the edited modules reload — the analogue of the
+        reference's per-shader dirty bits)."""
+        changed = []
+        for name, path in self._paths():
             mtime = path.stat().st_mtime
             if mtime != self._mtimes.get(path):
                 self._mtimes[path] = mtime
-                changed = True
+                changed.append(name)
         if changed:
-            reload_ops(self.beamformers)
+            reload_ops(self.beamformers, changed)
             if self.on_reload:
                 self.on_reload()
-        return changed
+        return bool(changed)
 
     def start(self):
         def loop():

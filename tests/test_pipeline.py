@@ -17,7 +17,7 @@ from ogl_beamforming_tpu.params.types import (FilterParameters,
                                               KaiserFilterParameters,
                                               Parameters, SimpleParameters)
 from ogl_beamforming_tpu.pipeline.executor import Beamformer
-from ogl_beamforming_tpu.pipeline.plan import _compiled_fn
+from ogl_beamforming_tpu.pipeline import plan as plan_mod
 from ogl_beamforming_tpu.pipeline.spec import validate_pipeline
 from ogl_beamforming_tpu.runtime.upload import prepare_rf
 from ogl_beamforming_tpu.utils.filters import make_filter
@@ -143,12 +143,12 @@ def test_plan_cache_reuse():
     bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
     raw = np.zeros((8, 4 * 256), np.int16)
     bf.push_data_with_compute(raw)
-    info0 = _compiled_fn.cache_info()
+    info0 = plan_mod._compiled_fn.cache_info()
 
     p2 = _make_params(f_number=1.5, speed_of_sound=1540.0)
     bf.push_parameters(p2)  # marks dirty; traced values changed only
     bf.push_data_with_compute(raw)
-    info1 = _compiled_fn.cache_info()
+    info1 = plan_mod._compiled_fn.cache_info()
     assert info1.misses == info0.misses  # no new trace
     assert info1.hits > info0.hits
 
