@@ -238,8 +238,14 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
             f = filters[_stage_parameter(pipeline, sd.kind, i, stage_descs)]
             dyn[f"taps{i}"] = jnp.asarray(f.taps)
         elif sd.kind == ShaderKind.Decode:
-            dyn[f"hadamard{i}"] = jnp.asarray(
-                hadamard(parameters.acquisition_count), jnp.float32)
+            try:
+                h = hadamard(parameters.acquisition_count)
+            except ValueError as e:
+                raise BeamformerError(
+                    ErrorKind.InvalidComputeStage,
+                    f"Hadamard decode needs a supported order "
+                    f"(2^k, 12*2^k, 20*2^k): {e}")
+            dyn[f"hadamard{i}"] = jnp.asarray(h, jnp.float32)
     dyn["sampling_frequency"] = jnp.float32(parameters.sampling_frequency)
     dyn["demodulation_frequency"] = jnp.float32(
         parameters.demodulation_frequency)

@@ -292,3 +292,14 @@ def test_averaged_frame(rng):
     avg = bf.averaged_frame()
     expect = (f1.to_numpy() + f2.to_numpy()) / 2
     np.testing.assert_allclose(avg.to_numpy(), expect, rtol=1e-5, atol=1e-6)
+
+
+def test_unsupported_hadamard_order_error(rng):
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(a=6)   # 6 has no Hadamard construction
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    with pytest.raises(BeamformerError) as e:
+        bf.push_data_with_compute(np.zeros((8, 6 * 256), np.int16))
+    assert e.value.kind == ErrorKind.InvalidComputeStage
+    assert "Hadamard" in str(e.value)
