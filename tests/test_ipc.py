@@ -252,3 +252,34 @@ def test_live_imaging_bridge(server):
     new.transmit_power = 0.5
     assert lib.beamformer_set_live_parameters(ct.byref(new)) == 1
     assert abs(server.get_live().transmit_power - 0.5) < 1e-6
+
+
+def test_multi_block_and_capacity_queries(server, rng):
+    """Parameter-block reservation, _at variants, and capacity queries."""
+    lib = server.lib
+    assert lib.beamformer_reserve_parameter_blocks(3) == 1
+
+    sp = _fill_simple(nx=8, nz=8)
+    assert lib.beamformer_push_simple_parameters_at(ct.byref(sp), 2) == 1
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    assert lib.beamformer_push_data_with_compute(
+        raw.ctypes.data_as(ct.c_void_p), raw.nbytes, 0, 2) == 1
+
+    lib.beamformer_set_global_timeout(15000)
+    out = np.zeros(8 * 8, np.float32)
+    assert lib.beamformer_get_last_frames(
+        out.ctypes.data_as(ct.c_void_p), out.nbytes, 1) == 1
+    lib.beamformer_set_global_timeout(0)
+    assert np.abs(out).max() > 0
+
+    # capacity queries
+    assert lib.beamformer_maximum_rf_data_size() > 1 << 20
+    n = lib.beamformer_maximum_frames_for_parameters(
+        ct.byref(sp.parameters))
+    assert 0 < n < (1 << 63)
+
+    # unreserved block rejected
+    assert lib.beamformer_push_simple_parameters_at(ct.byref(sp), 9) == 0
+    from ogl_beamforming_tpu.params.enums import ErrorKind
+    assert lib.beamformer_get_last_error() == \
+        int(ErrorKind.ParameterBlockUnallocated)
