@@ -48,6 +48,10 @@ TILE_SUB = 16    # image rows per voxel tile (A/B'd 8 vs 16: 16 is ~30% faster)
 TILE_LANE = 128  # axial voxels per tile (= lane count)
 CHUNK = 128
 
+# Bench-only kernel-structure knobs (experiments/ablate_das.py).  Read at
+# trace time; callers must clear _das_call's lru_cache after changing them.
+ABLATE: dict = {}
+
 _N_SCALARS = 13
 _SC_FS, _SC_SOS, _SC_T0, _SC_FNUM, _SC_PX, _SC_PY, _SC_FDEMOD, \
     _SC_RX_FLAG, _SC_TX_O, _SC_TX_ANGLE, _SC_TX_DEPTH, _SC_CH0, _SC_X0 = \
@@ -387,10 +391,12 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
         # branches cost ~85 cycles each on v5e (measured), so per-chunk
         # predication loses to unconditional masked gathers; 8-chunk groups
         # keep the skip for far chunks at 1/8 the branch count.
-        group = min(nq, 8)
+        group = min(nq, ABLATE.get("group", 8))
         for g0 in range(0, nq, group):
             g1 = min(g0 + group, nq)
             cond = any_active & (g1 - 1 >= qmin) & (g0 <= qmax)
+            if ABLATE.get("no_pred"):
+                cond = (ch >= 0)
 
             @pl.when(cond)
             def _(g0=g0, g1=g1, j=j, k=k, w_mask=w_mask, taps=taps):
@@ -411,6 +417,11 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
                         sel = (r >= 0) & (r < CHUNK)
                         rc = jnp.clip(r, 0, CHUNK - 1)
                         wsel = jnp.where(sel, w_mask * w, 0.0)
+                        if ABLATE.get("no_gather"):
+                            a_re = a_re + wsel * src_re
+                            if iq:
+                                a_im = a_im + wsel * src_im
+                            continue
                         a_re = a_re + wsel * jnp.take_along_axis(
                             src_re, rc, axis=-1)
                         if iq:
@@ -420,7 +431,7 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
                 if iq:
                     acc_im_ref[:] = a_im
 
-        if iq:
+        if iq and not ABLATE.get("no_rotation"):
             # rotate the (tile, c, a) contribution once (das.glsl:51-59)
             arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
                    * index / scalars_ref[_SC_FS])
@@ -435,6 +446,9 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
             if st.coherency_weighting:
                 sum_in = sum_in + jnp.sqrt(rot_re * rot_re
                                            + rot_im * rot_im)
+        elif iq:
+            sum_re = sum_re + acc_re_ref[:]
+            sum_im = sum_im + acc_im_ref[:]
         else:
             sum_re = sum_re + acc_re_ref[:]
             if st.coherency_weighting:

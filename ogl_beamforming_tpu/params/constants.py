@@ -22,7 +22,7 @@ MAX_PARAMETER_BLOCKS = 16         # beamformer.meta:7
 MAX_RAW_DATA_FRAMES_IN_FLIGHT = 3 # beamformer.meta:8
 MAX_HADAMARD_ELEMENTS = 65536     # beamformer.meta:9
 
-API_VERSION = 33
+API_VERSION = 34
 """Shared-memory protocol version (reference: beamformer_shared_memory.c:2)."""
 
 STATS_FRAME_WINDOW = 32

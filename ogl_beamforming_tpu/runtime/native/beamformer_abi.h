@@ -32,7 +32,7 @@ typedef u32      b32;
 #define BeamformerMaxRawDataFramesInFlight (3)
 #define BeamformerMaxHadamardElements      (65536)
 
-#define BF_TPU_API_VERSION (33u)
+#define BF_TPU_API_VERSION (34u)
 
 /* ---- enums (values match generated/beamformer.c:16-166) ---- */
 typedef enum {
@@ -237,9 +237,13 @@ typedef struct {
 #define BfWorkQueueCapacity (64)
 
 typedef struct {
-	/* widx in high 32 bits, ridx in low 32 (single-producer/consumer ring,
-	 * same packing idea as the reference's queue) */
+	/* widx in high 32 bits, ridx in low 32.  Multi-producer/single-consumer
+	 * ring: producers CAS-claim a widx slot, write the entry, then
+	 * release-publish commit[slot] = widx + 1; the consumer treats a slot
+	 * whose commit value != ridx + 1 as not-yet-written (claim/commit split,
+	 * same idea as the reference's beamformer_shared_memory.c:190-218). */
 	_Atomic u64 state;
+	_Atomic u32 commit[BfWorkQueueCapacity];
 	BfWork entries[BfWorkQueueCapacity];
 } BfWorkQueue;
 

@@ -97,13 +97,16 @@ typedef struct {
 	BfSharedMemory *shm;
 	u64             shm_size;
 	u32             timeout_ms;
-	i32             last_error;
 	b32             is_server;
 } BfContext;
 
 static BfContext g_ctx = {.timeout_ms = 0};
 
-static void set_error(i32 kind) { g_ctx.last_error = kind; }
+/* Thread-local: clients may push from several threads concurrently and each
+ * must see its own failure kind (TSan-verified by queue_stress.c). */
+static _Thread_local i32 g_last_error;
+
+static void set_error(i32 kind) { g_last_error = kind; }
 
 static const char *bf_error_strings[] = {
 	"None",
@@ -199,7 +202,14 @@ static int queue_push(BfWork w)
 		}
 		u64 next = ((u64)(widx + 1) << 32) | ridx;
 		if (atomic_compare_exchange_strong(&q->state, &state, next)) {
-			q->entries[widx % BfWorkQueueCapacity] = w;
+			/* Slot claimed; write the payload *before* publishing it.
+			 * Consumers ignore the slot until commit == widx + 1
+			 * (unique per slot generation: slot reused every
+			 * Capacity pushes, commit values s+1, s+Cap+1, ...). */
+			u32 slot = widx % BfWorkQueueCapacity;
+			q->entries[slot] = w;
+			atomic_store_explicit(&q->commit[slot], widx + 1,
+			                      memory_order_release);
 			atomic_fetch_add(&g_ctx.shm->work_futex, 1);
 			futex_wake(&g_ctx.shm->work_futex, 1);
 			return 1;
@@ -210,13 +220,23 @@ static int queue_push(BfWork w)
 static int queue_pop(BfWork *out)
 {
 	BfWorkQueue *q = &g_ctx.shm->queue;
-	u64 state = atomic_load(&q->state);
-	u32 widx = (u32)(state >> 32), ridx = (u32)state;
-	if (widx == ridx) return 0;
-	*out = q->entries[ridx % BfWorkQueueCapacity];
-	u64 next = ((u64)widx << 32) | (ridx + 1);
-	atomic_store(&q->state, next);
-	return 1;
+	for (;;) {
+		u64 state = atomic_load(&q->state);
+		u32 widx = (u32)(state >> 32), ridx = (u32)state;
+		if (widx == ridx) return 0;
+		u32 slot = ridx % BfWorkQueueCapacity;
+		if (atomic_load_explicit(&q->commit[slot],
+		                         memory_order_acquire) != ridx + 1)
+			return 0;  /* claimed but not yet committed */
+		/* Safe to read before the CAS: single consumer, and producers
+		 * can't reuse the slot until ridx advances past it. */
+		*out = q->entries[slot];
+		u64 next = ((u64)widx << 32) | (ridx + 1);
+		/* CAS (not store): producers may bump widx concurrently and a
+		 * plain store would erase their claim. */
+		if (atomic_compare_exchange_strong(&q->state, &state, next))
+			return 1;
+	}
 }
 
 /* wait until the done counter advances past `target`; returns 0 on timeout */
@@ -242,7 +262,7 @@ static int wait_done(u32 target, i32 timeout_ms)
 
 EXPORT u32 beamformer_get_api_version(void) { return BF_TPU_API_VERSION; }
 
-EXPORT i32 beamformer_get_last_error(void) { return g_ctx.last_error; }
+EXPORT i32 beamformer_get_last_error(void) { return g_last_error; }
 
 EXPORT const char *beamformer_error_string(i32 kind)
 {
@@ -253,7 +273,7 @@ EXPORT const char *beamformer_error_string(i32 kind)
 
 EXPORT const char *beamformer_get_last_error_string(void)
 {
-	return beamformer_error_string(g_ctx.last_error);
+	return beamformer_error_string(g_last_error);
 }
 
 EXPORT void beamformer_set_global_timeout(u32 timeout_ms)

@@ -48,4 +48,5 @@ def test_struct_sizes_match_native(tmp_path):
     from ogl_beamforming_tpu.runtime import abi
     lib = abi.load_library()   # performs its own ctypes<->C size checks
     assert lib.bf_abi_sizeof_parameters() == ct.sizeof(abi.CParameters)
-    assert lib.beamformer_get_api_version() == 33
+    from ogl_beamforming_tpu.params.constants import API_VERSION
+    assert lib.beamformer_get_api_version() == API_VERSION

@@ -73,7 +73,7 @@ def _fill_simple(c=8, a=4, s=256, nx=12, nz=16):
 
 
 def test_api_version(server):
-    assert server.lib.beamformer_get_api_version() == 33
+    assert server.lib.beamformer_get_api_version() == 34
 
 
 def test_error_strings(server):
@@ -171,7 +171,7 @@ def test_cross_process_c_client(server, rng, tmp_path):
 #include <stdlib.h>
 #include <string.h>
 int main(void) {
-    if (beamformer_get_api_version() != 33) return 2;
+    if (beamformer_get_api_version() != 34) return 2;
     BeamformerSimpleParameters sp;
     memset(&sp, 0, sizeof sp);
     float eye[16] = {1,0,0,0, 0,1,0,0, 0,0,1,0, 0,0,0,1};
@@ -283,3 +283,21 @@ def test_multi_block_and_capacity_queries(server, rng):
     from ogl_beamforming_tpu.params.enums import ErrorKind
     assert lib.beamformer_get_last_error() == \
         int(ErrorKind.ParameterBlockUnallocated)
+
+
+def test_queue_stress_sanitizers():
+    """Multi-producer queue claim/commit protocol under TSan + ASan/UBSan
+    (the round-1 publish race: beamformer_lib.c queue_push/queue_pop)."""
+    import shutil
+    import subprocess
+    native = os.path.join(os.path.dirname(abi.__file__), "native")
+    if shutil.which("cc") is None:
+        pytest.skip("no C compiler")
+    build = subprocess.run(["make", "-C", native, "stress"],
+                           capture_output=True, text=True)
+    if build.returncode != 0:
+        pytest.skip(f"sanitizer toolchain unavailable: {build.stderr[-200:]}")
+    for exe in ["queue_stress", "queue_stress_tsan", "queue_stress_asan"]:
+        run = subprocess.run([os.path.join(native, exe)],
+                             capture_output=True, text=True, timeout=300)
+        assert run.returncode == 0, f"{exe}: {run.stdout} {run.stderr[-500:]}"
