@@ -181,7 +181,7 @@ def _forces_rx_terms(st, sc, ch, world):
 
 
 def _forces_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
-                  rx_cache=None):
+                  rx_cache=None, tx_cache=None):
     """FORCES/UFORCES/READI (das.glsl:286-366): separable rx/tx distances;
     voxel transform already XDC-premultiplied (beamformer_core.c:760)."""
     x, y, z, in_range = world
@@ -221,7 +221,7 @@ def _hercules_rx_d2(st, sc, ch, xw, yw):
 
 
 def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
-                    rx_cache=None):
+                    rx_cache=None, tx_cache=None):
     """HERCULES family (das.glsl:231-284): 2D apodization over the rx/tx
     element grid, shared acquisition-0 transmit."""
     _, _, _, in_range = world
@@ -246,18 +246,31 @@ def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     return index, apod, mask
 
 
+def _rca_acq_tx_dist(sc, t0_ref, t1_ref, acq, world):
+    """Per-(tile, acquisition) transmit distance for the RCA family —
+    channel-independent, so the kernel caches it in scratch at ch == 0."""
+    wx, wy, wz, _ = world
+    packed = t0_ref[2 * acq]
+    tx_o = jnp.floor(packed / 16.0)
+    return _rca_tx_distance_tile(wx, wy, wz, tx_o, t0_ref[2 * acq + 1],
+                                 t1_ref[acq])
+
+
 def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
-               rx_cache=None):
+               rx_cache=None, tx_cache=None):
     """Flash/TPW/VLS (das.glsl:202-229): per-acquisition orientation +
     focal vector.  t0_ref interleaves [tx*16+rx, angle_degrees] per
-    acquisition; t1_ref holds focal depths (inf = plane wave)."""
+    acquisition; t1_ref holds focal depths (inf = plane wave).
+    ``rx_cache``: XDC-space voxel coords (pure tile terms, scratch-cached);
+    ``tx_cache``: the per-acquisition transmit-distance plane."""
     wx, wy, wz, in_range = world
     fs, sos, t0, fnum = sc[_SC_FS], sc[_SC_SOS], sc[_SC_T0], sc[_SC_FNUM]
     px, py = sc[_SC_PX], sc[_SC_PY]
-    xw, yw, zw = _apply_m4_tile(xdc_ref, wx, wy, wz)
+    if rx_cache is None:
+        xw, yw, zw = _apply_m4_tile(xdc_ref, wx, wy, wz)
+    else:
+        xw, yw, zw = rx_cache
     packed = t0_ref[2 * acq]
-    angle = t0_ref[2 * acq + 1]
-    depth = t1_ref[acq]
     tx_o = jnp.floor(packed / 16.0)
     rx_o = packed - tx_o * 16.0
     rx_rows = rx_o == np.float32(1.0)
@@ -268,7 +281,11 @@ def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     a_arg = jnp.abs(fnum * recv_lat / jnp.abs(zw))
     mask = (a_arg < 0.5) & in_range
     apod = _apodize(mask, a_arg)
-    tx_dist = _rca_tx_distance_tile(wx, wy, wz, tx_o, angle, depth)
+    if tx_cache is None:
+        tx_dist = _rca_tx_distance_tile(wx, wy, wz, tx_o,
+                                        t0_ref[2 * acq + 1], t1_ref[acq])
+    else:
+        tx_dist = tx_cache
     rlen = jnp.sqrt(recv_lat * recv_lat + zw * zw)
     index = ((tx_dist + rlen) / sos + t0) * fs
     return index, apod, mask
@@ -283,19 +300,60 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 # ---------------------------------------------------------------------------
 
 def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
-                vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref, out_in_ref,
-                acc_re_ref, acc_im_ref, world_ref, rx_ref, herc_ref):
+                act_ref, vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref,
+                out_in_ref, acc_re_ref, acc_im_ref, world_ref, rx_ref,
+                herc_ref, txc_ref):
     """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
     transmits are processed per step to amortize world-point/output traffic
-    and grid overhead."""
+    and grid overhead.
+
+    ``act_ref`` (scalar prefetch) holds a per-tile activity flag computed by
+    :func:`_tile_activity`; tiles whose delay range misses the RF samples (or
+    whose voxels sit entirely outside the f-number cone) skip all delay math
+    and accumulation — on the BASELINE plane-wave config over half the
+    image depth lies beyond the last sample and this alone recovers ~30%.
+
+    For the RCA family the grid is (tiles, blocks, channels) — channels
+    innermost — so the channel-independent transmit-distance planes of the
+    current block are cached in ``txc_ref`` at ch == 0 with *static* scratch
+    indices (dynamic-offset VMEM access is the costliest Mosaic pattern we
+    measured)."""
     tile = pl.program_id(0)
-    ch = pl.program_id(1)
-    blk = pl.program_id(2)
+    if st.family == "rca":
+        blk = pl.program_id(1)
+        ch = pl.program_id(2)
+    else:
+        ch = pl.program_id(1)
+        blk = pl.program_id(2)
     s = st.sample_count
     nq = _cdiv(s, CHUNK)
     iq = st.iq
 
     first = (ch == 0) & (blk == 0)
+
+    @pl.when(first)
+    def _():
+        out_re_ref[:] = jnp.zeros_like(out_re_ref)
+        if iq:
+            out_im_ref[:] = jnp.zeros_like(out_im_ref)
+        if st.coherency_weighting:
+            out_in_ref[:] = jnp.zeros_like(out_in_ref)
+
+    @pl.when(act_ref[tile] > 0)
+    def _active_body():
+        _das_tile_step(st, tx_block, tile, ch, blk, first, scalars_ref,
+                       t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref,
+                       out_im_ref, out_in_ref, acc_re_ref, acc_im_ref,
+                       world_ref, rx_ref, herc_ref, txc_ref)
+
+
+def _das_tile_step(st, tx_block, tile, ch, blk, first, scalars_ref, t0_ref,
+                   t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref,
+                   out_in_ref, acc_re_ref, acc_im_ref, world_ref, rx_ref,
+                   herc_ref, txc_ref):
+    s = st.sample_count
+    nq = _cdiv(s, CHUNK)
+    iq = st.iq
 
     # World points are a pure function of the tile: compute them once when a
     # new tile begins (scratch persists across the channel x transmit loop).
@@ -311,8 +369,10 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
     world = (world_ref[0], world_ref[1], world_ref[2], world_ref[3] > 0.5)
 
     # Receive terms are a pure function of (tile, channel): cache them in
-    # scratch when a new channel begins (the transmit-block dim is innermost).
+    # scratch when a new channel begins (the transmit-block dim is innermost
+    # for these families).
     rx_cache = None
+    tx_cached = False
     if st.family == "forces":
         @pl.when(blk == 0)
         def _():
@@ -340,14 +400,23 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
                                         herc_ref[0], herc_ref[1])
         rx_cache = (herc_ref[0], herc_ref[1], herc_ref[2], herc_ref[3],
                     herc_ref[4], rx_ref[0])
+    else:  # rca: XDC coords are pure tile terms; tx distance per (tile, acq)
+        @pl.when(first)
+        def _():
+            xw, yw, zw = _apply_m4_tile(xdc_ref, world[0], world[1],
+                                        world[2])
+            herc_ref[0] = xw
+            herc_ref[1] = yw
+            herc_ref[2] = zw
+        rx_cache = (herc_ref[0], herc_ref[1], herc_ref[2])
 
-    @pl.when(first)
-    def _():
-        out_re_ref[:] = jnp.zeros_like(out_re_ref)
-        if iq:
-            out_im_ref[:] = jnp.zeros_like(out_im_ref)
-        if st.coherency_weighting:
-            out_in_ref[:] = jnp.zeros_like(out_in_ref)
+        # Channels are innermost: cache this block's transmit planes once.
+        @pl.when(ch == 0)
+        def _():
+            for j in range(tx_block):
+                txc_ref[j] = _rca_acq_tx_dist(
+                    scalars_ref, t0_ref, t1_ref, blk * tx_block + j, world)
+        tx_cached = True
 
     sum_re = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
     sum_im = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
@@ -357,7 +426,8 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
         acq = blk * tx_block + j
         index, apod, mask = _DELAY[st.family](
             st, scalars_ref, t0_ref, t1_ref, xdc_ref, ch, acq, world,
-            rx_cache=rx_cache)
+            rx_cache=rx_cache,
+            tx_cache=txc_ref[j] if tx_cached else None)
 
         if st.interpolation_mode == InterpolationMode.Nearest:
             k = jnp.floor(index + 0.5).astype(jnp.int32)
@@ -391,7 +461,7 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
         # branches cost ~85 cycles each on v5e (measured), so per-chunk
         # predication loses to unconditional masked gathers; 8-chunk groups
         # keep the skip for far chunks at 1/8 the branch count.
-        group = min(nq, ABLATE.get("group", 8))
+        group = min(nq, ABLATE.get("group", 4))
         for g0 in range(0, nq, group):
             g1 = min(g0 + group, nq)
             cond = any_active & (g1 - 1 >= qmin) & (g0 <= qmax)
@@ -461,6 +531,100 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
         out_in_ref[:] += sum_in
 
 
+_ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
+
+
+def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
+                   n_grid: int):
+    """(n_tiles,) int32 flags: 1 if any (voxel, channel, acq) of the tile can
+    contribute — its delay-index interval overlaps [0, S) and some channel's
+    f-number cone contains it.  A conservative over-approximation (false
+    positives only cost time; the kernel's own masks stay authoritative).
+
+    Runs vectorized over the full voxel grid inside the jit wrapper, so it
+    tracks the *traced* sampling frequency / speed of sound — unlike a
+    static bound, changing them at runtime can never produce wrong zeros.
+    """
+    rt, zt = _n_row_tiles(st), _n_z_tiles(st)
+    if st.family == "hercules":        # conservative: no skip yet
+        return jnp.ones(rt * zt, jnp.int32)
+    n_rows, n_lanes = _axes(st)
+    nx, ny, nz = st.output_points
+    gnx, gny, gnz = st.global_points or (nx, ny, nz)
+    row = jnp.arange(rt * TILE_SUB, dtype=jnp.int32)[:, None]
+    lane = jnp.arange(zt * TILE_LANE, dtype=jnp.int32)[None, :]
+    if nz > 1:
+        iz, iy, ix = lane, row % ny, row // ny
+    else:
+        iz, iy, ix = jnp.zeros_like(lane), lane, row
+    pxn = (ix.astype(jnp.float32) + scalars[_SC_X0]) / np.float32(
+        max(gnx - 1, 1))
+    pyn = iy.astype(jnp.float32) / np.float32(max(gny - 1, 1))
+    pzn = iz.astype(jnp.float32) / np.float32(max(gnz - 1, 1))
+    x = vt[0, 0] * pxn + vt[0, 1] * pyn + vt[0, 2] * pzn + vt[0, 3]
+    y = vt[1, 0] * pxn + vt[1, 1] * pyn + vt[1, 2] * pzn + vt[1, 3]
+    z = vt[2, 0] * pxn + vt[2, 1] * pyn + vt[2, 2] * pzn + vt[2, 3]
+    in_range = (row < n_rows) & (lane < n_lanes)
+
+    fs, sos, t0 = scalars[_SC_FS], scalars[_SC_SOS], scalars[_SC_T0]
+    fnum = scalars[_SC_FNUM]
+    pxp, pyp = scalars[_SC_PX], scalars[_SC_PY]
+    ch0 = scalars[_SC_CH0]
+    chn = ch0 + np.float32(st.local_channels - 1)
+    s_hi = np.float32(st.sample_count) + _ACT_MARGIN
+    s_lo = -_ACT_MARGIN
+
+    def interval_dist(lat, lo, hi):
+        dmin = jnp.maximum(0.0, jnp.maximum(lo - lat, lat - hi))
+        dmax = jnp.maximum(jnp.abs(lat - lo), jnp.abs(lat - hi))
+        return dmin, dmax
+
+    if st.family == "forces":
+        lo = jnp.minimum(ch0 * pxp, chn * pxp)
+        hi = jnp.maximum(ch0 * pxp, chn * pxp)
+        dmin, dmax = interval_dist(x, lo, hi)
+        cone = jnp.abs(fnum * dmin / z) < 0.5
+        z2 = z * z
+        rx_min = (jnp.sqrt(dmin * dmin + z2) / sos + t0) * fs
+        rx_max = (jnp.sqrt(dmax * dmax + z2) / sos + t0) * fs
+        ty = y - pyp * np.float32(st.channel_count / 2.0)
+        e = t0_arr[:n_grid]             # element x positions
+        elo, ehi = jnp.min(e), jnp.max(e)
+        tdmin, tdmax = interval_dist(x, jnp.minimum(elo, ehi),
+                                     jnp.maximum(elo, ehi))
+        base2 = ty * ty + z2
+        tx_min = jnp.sqrt(base2 + tdmin * tdmin) * (fs / sos)
+        tx_max = jnp.sqrt(base2 + tdmax * tdmax) * (fs / sos)
+        vox = (cone & in_range & (rx_max + tx_max >= s_lo)
+               & (rx_min + tx_min <= s_hi))
+    else:   # rca
+        xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
+        yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
+        zw = xdc[2, 0] * x + xdc[2, 1] * y + xdc[2, 2] * z + xdc[2, 3]
+        vox = jnp.zeros(x.shape, bool)
+        for a in range(n_grid):
+            packed = t0_arr[2 * a]
+            tx_o = jnp.floor(packed / 16.0)
+            rx_rows = (packed - tx_o * 16.0) == np.float32(1.0)
+            lat = jnp.where(rx_rows, yw, xw)
+            p = jnp.where(rx_rows, pyp, pxp)
+            lo = jnp.minimum(ch0 * p, chn * p)
+            hi = jnp.maximum(ch0 * p, chn * p)
+            dmin, dmax = interval_dist(lat, lo, hi)
+            cone = jnp.abs(fnum * dmin / jnp.abs(zw)) < 0.5
+            zw2 = zw * zw
+            rmin = jnp.sqrt(dmin * dmin + zw2)
+            rmax = jnp.sqrt(dmax * dmax + zw2)
+            txd = _rca_tx_distance_tile(x, y, z, tx_o, t0_arr[2 * a + 1],
+                                        t1_arr[a])
+            imin = ((txd + rmin) / sos + t0) * fs
+            imax = ((txd + rmax) / sos + t0) * fs
+            vox = vox | (cone & in_range & (imax >= s_lo) & (imin <= s_hi))
+
+    act = vox.reshape(rt, TILE_SUB, zt, TILE_LANE).any(axis=(1, 3))
+    return act.reshape(-1).astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=64)
 def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     """Build the jitted pallas_call wrapper for a static configuration.
@@ -489,18 +653,31 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     out_shapes = [jax.ShapeDtypeStruct((rt * TILE_SUB, zt * TILE_LANE),
                                        jnp.float32)] * 3
-    out_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
-                            lambda i, c, q, *_: (i // zt, i % zt),
-                            memory_space=pltpu.VMEM)
 
     # rf is laid out per *grid* transmit index (READI duplication resolved
     # on host), so the block index is simply the transmit-block number.
-    def rf_index(i, c, b, *_):
-        return (c, b, 0, 0)
+    if st.family == "rca":
+        # Channels innermost so per-(tile, block) transmit planes cached at
+        # ch == 0 stay valid for the whole channel sweep.
+        grid = (n_tiles, n_blocks, st.local_channels)
+        out_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
+                                lambda i, b, c, *_: (i // zt, i % zt),
+                                memory_space=pltpu.VMEM)
+
+        def rf_index(i, b, c, *_):
+            return (c, b, 0, 0)
+    else:
+        grid = (n_tiles, st.local_channels, n_blocks)
+        out_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
+                                lambda i, c, q, *_: (i // zt, i % zt),
+                                memory_space=pltpu.VMEM)
+
+        def rf_index(i, c, b, *_):
+            return (c, b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,    # scalars + two geometry tables (SMEM)
-        grid=(n_tiles, st.local_channels, n_blocks),
+        num_scalar_prefetch=4,    # scalars, two geometry tables, tile flags
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # voxel transform (4,4)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # xdc transform (4,4)
@@ -514,6 +691,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             pltpu.VMEM((4, TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((3, TILE_SUB, TILE_LANE), jnp.float32),
             pltpu.VMEM((5, TILE_SUB, TILE_LANE), jnp.float32),
+            pltpu.VMEM((tx_block, TILE_SUB, TILE_LANE), jnp.float32),
         ],
     )
 
@@ -547,7 +725,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         if s_pad != s or pad_a:
             rf_planes = jnp.pad(
                 rf_planes, ((0, 0), (0, pad_a), (0, 0), (0, s_pad - s)))
-        out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, vt, xdc,
+        act = _tile_activity(st, scalars, t0_arr, t1_arr, vt, xdc,
+                             n_acq_grid)
+        out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, vt, xdc,
                                     rf_planes)
         n_rows, n_lanes = _axes(st)
 

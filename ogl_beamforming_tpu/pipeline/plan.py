@@ -36,16 +36,6 @@ from ..utils.hadamard import hadamard
 from ..utils.transforms import das_output_dimension
 from .spec import PipelineSpec
 
-_NP_DTYPE = {
-    DataKind.Int16: np.int16,
-    DataKind.Float32: np.float32,
-    DataKind.Float16: np.float16,
-    DataKind.Int16Complex: np.int16,       # interleaved pairs on the wire
-    DataKind.Float32Complex: np.complex64,
-    DataKind.Float16Complex: np.complex64,
-}
-
-
 @dataclass(frozen=True)
 class StageDesc:
     """Static descriptor of one pipeline stage (the bake-parameter hash)."""
@@ -281,8 +271,11 @@ def compose_stages(desc: PlanDescriptor, rf, dyn, *,
     which defers coherency normalization until after the cross-device psum.
     """
     x = rf
-    if desc.data_kind == DataKind.Int16Complex:
-        # Interleaved i16 pairs -> complex64 (I, Q adjacent samples).
+    if desc.data_kind.is_complex:
+        # Interleaved scalar pairs -> complex64 (I, Q adjacent samples) for
+        # all complex wire kinds: Int16Complex, Float32Complex,
+        # Float16Complex (reference: shaders/reshape.glsl:30-82 pairs the
+        # same way regardless of the scalar carrier).
         x = x.astype(jnp.float32)
         x = jax.lax.complex(x[..., 0::2], x[..., 1::2])
     out = None

@@ -301,3 +301,64 @@ def test_queue_stress_sanitizers():
         run = subprocess.run([os.path.join(native, exe)],
                              capture_output=True, text=True, timeout=300)
         assert run.returncode == 0, f"{exe}: {run.stdout} {run.stderr[-500:]}"
+
+
+def test_beamform_data_float32complex(server, rng):
+    """C-ABI round trip with interleaved Float32Complex raw data
+    (reference: shaders/reshape.glsl:30-82, lib/ogl_beamformer_lib.c:491-570)."""
+    c, a, s, nx, nz = 8, 4, 256, 12, 16
+    sp = _fill_simple(c, a, s, nx, nz)
+    sp.data_kind = int(DataKind.Float32Complex)
+    wire = rng.standard_normal((c, a * s * 2)).astype(np.float32)
+    out = np.zeros(nx * nz, np.complex64)
+
+    ok = server.lib.beamformer_beamform_data(
+        ct.byref(sp), wire.ctypes.data_as(ct.c_void_p), wire.nbytes,
+        out.ctypes.data_as(ct.c_void_p), 15000)
+    assert ok == 1, server.lib.beamformer_get_last_error_string()
+
+    pairs = wire.reshape(c, a, s * 2)
+    rf = (pairs[..., 0::2] + 1j * pairs[..., 1::2]).astype(np.complex64)
+    dec = golden.decode_hadamard(rf, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=das_transform_2d_xz([0, 1e-3],
+                                            [(c - 1) * 0.3e-3, 8e-3]),
+        xdc_element_pitch=np.array([0.3e-3, 0.3e-3], np.float32),
+        output_points=(nx, nz, 1))
+    ref = golden.das(rf=dec, p=dp)
+    ref_flat = np.asarray(ref).transpose(2, 1, 0).ravel()
+    assert nrmse(ref_flat, out) < 1e-3
+
+
+def test_beamform_data_int16complex(server, rng):
+    """C-ABI round trip with interleaved Int16Complex raw data."""
+    c, a, s, nx, nz = 8, 4, 256, 12, 16
+    sp = _fill_simple(c, a, s, nx, nz)
+    sp.data_kind = int(DataKind.Int16Complex)
+    wire = rng.integers(-1024, 1024, (c, a * s * 2)).astype(np.int16)
+    out = np.zeros(nx * nz, np.complex64)
+
+    ok = server.lib.beamformer_beamform_data(
+        ct.byref(sp), wire.ctypes.data_as(ct.c_void_p), wire.nbytes,
+        out.ctypes.data_as(ct.c_void_p), 15000)
+    assert ok == 1, server.lib.beamformer_get_last_error_string()
+
+    pairs = wire.reshape(c, a, s * 2).astype(np.float32)
+    rf = (pairs[..., 0::2] + 1j * pairs[..., 1::2]).astype(np.complex64)
+    dec = golden.decode_hadamard(rf, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=das_transform_2d_xz([0, 1e-3],
+                                            [(c - 1) * 0.3e-3, 8e-3]),
+        xdc_element_pitch=np.array([0.3e-3, 0.3e-3], np.float32),
+        output_points=(nx, nz, 1))
+    ref = golden.das(rf=dec, p=dp)
+    ref_flat = np.asarray(ref).transpose(2, 1, 0).ravel()
+    assert nrmse(ref_flat, out) < 1e-3

@@ -303,3 +303,39 @@ def test_unsupported_hadamard_order_error(rng):
         bf.push_data_with_compute(np.zeros((8, 6 * 256), np.int16))
     assert e.value.kind == ErrorKind.InvalidComputeStage
     assert "Hadamard" in str(e.value)
+
+
+@pytest.mark.parametrize("kind,wire_dtype", [
+    (DataKind.Int16Complex, np.int16),
+    (DataKind.Float32Complex, np.float32),
+    (DataKind.Float16Complex, np.float16),
+])
+def test_executor_complex_wire_kinds(rng, kind, wire_dtype):
+    """Interleaved IQ wire data end-to-end for every complex kind
+    (reference: shaders/reshape.glsl:30-82 pairing)."""
+    c, a, s = 8, 4, 256
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(c, a, s)
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], kind)
+
+    if wire_dtype == np.int16:
+        wire = rng.integers(-1024, 1024, (c, a * s * 2)).astype(np.int16)
+    else:
+        wire = rng.standard_normal((c, a * s * 2)).astype(wire_dtype)
+    frame = bf.push_data_with_compute(wire)
+    assert frame.complex
+
+    pairs = wire.reshape(c, a, s * 2).astype(np.float32)
+    rf = (pairs[..., 0::2] + 1j * pairs[..., 1::2]).astype(np.complex64)
+    dec = golden.decode_hadamard(rf, hadamard(a))
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s, sampling_frequency=20e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Linear, f_number=0.8,
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        output_points=(12, 16, 1))
+    ref = golden.das(dec, dp)
+    assert nrmse(ref, frame.to_numpy()) < 1e-3
