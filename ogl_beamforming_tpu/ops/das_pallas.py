@@ -8,19 +8,27 @@ roofline).  Design, driven by what Mosaic executes fast:
     row, lane = consecutive axial voxel.  Depth-local tiles bound each
     tile's delay spread so only ~(span/128 + 1) of the RF line's 128-sample
     chunks contribute.
-  * Grid = (voxel_tiles, channels, transmits): channel AND transmit are
-    grid dims, so every RF access in the kernel body has a *static*
-    address — dynamic-offset VMEM loads inside fori_loops were the single
-    biggest Mosaic cost we measured (~1.7us per iteration vs ~2ns for
-    static-address vector ops).  The output block's index map ignores
+  * Grid = (voxel_tiles, channels-or-units, transmits): channel AND
+    transmit are grid dims, so every RF access in the kernel body has a
+    *static* address — dynamic-offset VMEM loads inside fori_loops were the
+    single biggest Mosaic cost we measured (~1.7us per iteration vs ~2ns
+    for static-address vector ops).  The output block's index map ignores
     (c, a), keeping the accumulator tile resident in VMEM across the whole
     channel x transmit accumulation (the reference's channel-chunk loop,
     beamformer_core.c:1577-1587, without HBM round trips).
-  * The chunk loop is a *python* loop over all S/128 chunks with a
-    ``pl.when`` skip on the tile's [qmin, qmax] delay range: static load
-    addresses, predicated execution for chunks a tile doesn't touch.
+  * Per-tile *activity flags* and (RCA) per-(tile, channel-unit) RF-chunk
+    bounds are precomputed vectorized on device and scalar-prefetched
+    (_tile_activity): tiles whose delay span misses the samples skip all
+    work, and every chunk predicate is a pure scalar read — no
+    vector->scalar reduction stall on the scalar core.
+  * The chunk loop is a *python* loop with a ``pl.when`` skip per chunk
+    (group) against those bounds; for RCA one predicate region is shared by
+    the whole channel block (8 channels per grid step, each with its own
+    scratch accumulator plane), so branch overhead is amortized 8x.
   * One lane-gather (``take_along_axis`` within a 128-wide row — the one
-    dynamic gather Mosaic lowers natively) per interpolation tap.
+    dynamic gather Mosaic lowers natively) per interpolation tap; gathers
+    issue at ~1 vreg/cycle and are ~half of kernel time at the measured
+    19 ms headline (ablations in PERFORMANCE.md).
   * IQ data is carried as separate re/im f32 planes; the phase rotation
     exp(+j 2 pi f_d idx / fs) (das.glsl:51-59) is applied once per
     (tile, channel, transmit) after tap accumulation.
@@ -47,6 +55,12 @@ from .das import DasStatic, make_dynamic, make_static  # noqa: F401
 TILE_SUB = 16    # image rows per voxel tile (A/B'd 8 vs 16: 16 is ~30% faster)
 TILE_LANE = 128  # axial voxels per tile (= lane count)
 CHUNK = 128
+
+
+def _tile_rows(st) -> int:
+    """Image rows per voxel tile (16: best measured with predicate sharing;
+    32 was better before branches were amortized across the channel block)."""
+    return ABLATE.get("tile_sub", TILE_SUB)
 
 # Bench-only kernel-structure knobs (experiments/ablate_das.py).  Read at
 # trace time; callers must clear _das_call's lru_cache after changing them.
@@ -77,7 +91,7 @@ def _n_z_tiles(st: DasStatic) -> int:
 
 
 def _n_row_tiles(st: DasStatic) -> int:
-    return _cdiv(_axes(st)[0], TILE_SUB)
+    return _cdiv(_axes(st)[0], _tile_rows(st))
 
 
 def _tile_world_points(st: DasStatic, tile_idx, vt, x_off=None):
@@ -90,10 +104,11 @@ def _tile_world_points(st: DasStatic, tile_idx, vt, x_off=None):
     zt = _n_z_tiles(st)
     row_tile = tile_idx // zt
     z_tile = tile_idx % zt
-    row = (row_tile * TILE_SUB
-           + jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANE), 0))
+    ts = _tile_rows(st)
+    row = (row_tile * ts
+           + jax.lax.broadcasted_iota(jnp.int32, (ts, TILE_LANE), 0))
     lane = (z_tile * TILE_LANE
-            + jax.lax.broadcasted_iota(jnp.int32, (TILE_SUB, TILE_LANE), 1))
+            + jax.lax.broadcasted_iota(jnp.int32, (ts, TILE_LANE), 1))
     if nz > 1:
         iz = lane
         iy = row % ny
@@ -299,10 +314,11 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 # Shared kernel
 # ---------------------------------------------------------------------------
 
-def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
-                act_ref, vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref,
-                out_in_ref, acc_re_ref, acc_im_ref, world_ref, rx_ref,
-                herc_ref, txc_ref):
+def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
+                scalars_ref, t0_ref, t1_ref, act_ref, qlo_ref, qhi_ref,
+                vt_ref, xdc_ref, rf_ref, out_re_ref,
+                out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
+                rx_ref, herc_ref, txc_ref):
     """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
     transmits are processed per step to amortize world-point/output traffic
     and grid overhead.
@@ -339,18 +355,29 @@ def _das_kernel(st: DasStatic, tx_block: int, scalars_ref, t0_ref, t1_ref,
         if st.coherency_weighting:
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
+    if st.family == "rca":
+        # Prefetched conservative chunk bounds for this (tile, ch-unit):
+        # pure scalar reads, no vector->scalar reduction stall.  Inactive
+        # units encode (nq, -1) so all chunk groups predicate false.
+        qmin = qlo_ref[tile * n_cb + ch]
+        qmax = qhi_ref[tile * n_cb + ch]
+    else:
+        qmin = qmax = None
+
     @pl.when(act_ref[tile] > 0)
     def _active_body():
-        _das_tile_step(st, tx_block, tile, ch, blk, first, scalars_ref,
-                       t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref,
-                       out_im_ref, out_in_ref, acc_re_ref, acc_im_ref,
-                       world_ref, rx_ref, herc_ref, txc_ref)
+        _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first,
+                       qmin, qmax,
+                       scalars_ref, t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref,
+                       out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
+                       acc_im_ref, world_ref, rx_ref, herc_ref, txc_ref)
 
 
-def _das_tile_step(st, tx_block, tile, ch, blk, first, scalars_ref, t0_ref,
-                   t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref, out_im_ref,
-                   out_in_ref, acc_re_ref, acc_im_ref, world_ref, rx_ref,
-                   herc_ref, txc_ref):
+def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
+                   scalars_ref,
+                   t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref,
+                   out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
+                   rx_ref, herc_ref, txc_ref):
     s = st.sample_count
     nq = _cdiv(s, CHUNK)
     iq = st.iq
@@ -418,111 +445,162 @@ def _das_tile_step(st, tx_block, tile, ch, blk, first, scalars_ref, t0_ref,
                     scalars_ref, t0_ref, t1_ref, blk * tx_block + j, world)
         tx_cached = True
 
-    sum_re = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
-    sum_im = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
-    sum_in = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
+    if qb_lo is not None:
+        # RCA: chunk bounds are prefetched per (tile, ch-unit); skip the
+        # whole unit (delay math included) when its bounds are empty.
+        @pl.when(qb_lo <= qb_hi)
+        def _():
+            _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
+                              scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
+                              out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
+                              acc_im_ref, world, rx_cache, tx_cached, txc_ref)
+    else:
+        _das_unit_compute(st, tx_block, ch_block, ch, blk, None, None,
+                          scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
+                          out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
+                          acc_im_ref, world, rx_cache, tx_cached, txc_ref)
 
-    for j in range(tx_block):
-        acq = blk * tx_block + j
-        index, apod, mask = _DELAY[st.family](
-            st, scalars_ref, t0_ref, t1_ref, xdc_ref, ch, acq, world,
-            rx_cache=rx_cache,
-            tx_cache=txc_ref[j] if tx_cached else None)
 
-        if st.interpolation_mode == InterpolationMode.Nearest:
-            k = jnp.floor(index + 0.5).astype(jnp.int32)
-            valid = (jnp.floor(index) >= 0) & (k < s)
-            taps = [(0, jnp.float32(1.0))]
-        else:
-            kf = jnp.floor(index)
-            k = kf.astype(jnp.int32)
-            t = index - kf
-            if st.interpolation_mode == InterpolationMode.Linear:
-                valid = (k >= 0) & (k < s - 1)
+def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
+                      scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
+                      out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
+                      acc_im_ref, world, rx_cache, tx_cached, txc_ref):
+    s = st.sample_count
+    nq = _cdiv(s, CHUNK)
+    iq = st.iq
+    ts = _tile_rows(st)
+    sum_re = jnp.zeros((ts, TILE_LANE), jnp.float32)
+    sum_im = jnp.zeros((ts, TILE_LANE), jnp.float32)
+    sum_in = jnp.zeros((ts, TILE_LANE), jnp.float32)
+
+    # ch_block channels per grid step (RCA): amortizes per-step fixed costs
+    # (grid bookkeeping, output/accumulator traffic, branch overhead) over
+    # several channels; rca's caches are channel-independent so they share.
+    # When chunk bounds are prefetched (RCA) they are identical for every
+    # channel of the step, so ``pred_share`` channels share one chunk-group
+    # predicate region (fewer scalar-core branches); each shared channel
+    # gets its own accumulator plane in scratch.
+    pairs = [(i, j) for i in range(ch_block) for j in range(tx_block)]
+    share = _pred_share(st) if qb_lo is not None else 1
+    group = min(nq, ABLATE.get("group", 1 if qb_lo is not None else 4))
+
+    for b0 in range(0, len(pairs), share):
+        batch = pairs[b0:b0 + share]
+        preps = []
+        any_active = None
+        qmin = qmax = None
+        for slot, (i, j) in enumerate(batch):
+            chv = ch * ch_block + i if ch_block > 1 else ch
+            acq = blk * tx_block + j
+            index, apod, mask = _DELAY[st.family](
+                st, scalars_ref, t0_ref, t1_ref, xdc_ref, chv, acq, world,
+                rx_cache=rx_cache,
+                tx_cache=txc_ref[j] if tx_cached else None)
+
+            if st.interpolation_mode == InterpolationMode.Nearest:
+                k = jnp.floor(index + 0.5).astype(jnp.int32)
+                valid = (jnp.floor(index) >= 0) & (k < s)
+                taps = [(0, jnp.float32(1.0))]
             else:
-                valid = (k > 0) & (k < s - 2)
-            taps = _interp_weights(st, t)
+                kf = jnp.floor(index)
+                k = kf.astype(jnp.int32)
+                t = index - kf
+                if st.interpolation_mode == InterpolationMode.Linear:
+                    valid = (k >= 0) & (k < s - 1)
+                else:
+                    valid = (k > 0) & (k < s - 2)
+                taps = _interp_weights(st, t)
 
-        w_mask = apod * valid.astype(jnp.float32)
-        min_off = min(off for off, _ in taps)
-        max_off = max(off for off, _ in taps)
-        active = valid & mask
-        k_lo = jnp.min(jnp.where(active, k, s)) + min_off
-        k_hi = jnp.max(jnp.where(active, k, 0)) + max_off
-        qmin = jnp.clip(k_lo // CHUNK, 0, nq - 1)
-        qmax = jnp.clip(k_hi // CHUNK, 0, nq - 1)
-        any_active = jnp.any(active)
+            w_mask = apod * valid.astype(jnp.float32)
+            if qb_lo is not None:
+                qmin, qmax = qb_lo, qb_hi
+            else:   # share == 1: in-kernel reduction bounds
+                min_off = min(off for off, _ in taps)
+                max_off = max(off for off, _ in taps)
+                active = valid & mask
+                k_lo = jnp.min(jnp.where(active, k, s)) + min_off
+                k_hi = jnp.max(jnp.where(active, k, 0)) + max_off
+                qmin = jnp.clip(k_lo // CHUNK, 0, nq - 1)
+                qmax = jnp.clip(k_hi // CHUNK, 0, nq - 1)
+                any_active = jnp.any(active)
+            # Per-tap weight planes hoisted out of the chunk loop
+            # (w_mask * w is chunk-invariant).
+            tap_w = [(off, w_mask * w) for off, w in taps]
+            acc_re_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
+            if iq:
+                acc_im_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
+            preps.append((slot, i, j, k, tap_w, index))
 
-        acc_re_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
-        if iq:
-            acc_im_ref[:] = jnp.zeros((TILE_SUB, TILE_LANE), jnp.float32)
-
-        # Static chunk loop, predicated per *group* of chunks: scalar-core
-        # branches cost ~85 cycles each on v5e (measured), so per-chunk
-        # predication loses to unconditional masked gathers; 8-chunk groups
-        # keep the skip for far chunks at 1/8 the branch count.
-        group = min(nq, ABLATE.get("group", 4))
+        # Static chunk loop, predicated per *group* of chunks: branches run
+        # on the scalar core, so group them and share each predicate region
+        # across the batch.
         for g0 in range(0, nq, group):
             g1 = min(g0 + group, nq)
-            cond = any_active & (g1 - 1 >= qmin) & (g0 <= qmax)
+            cond = (g1 - 1 >= qmin) & (g0 <= qmax)
+            if any_active is not None:
+                cond = any_active & cond
             if ABLATE.get("no_pred"):
                 cond = (ch >= 0)
 
             @pl.when(cond)
-            def _(g0=g0, g1=g1, j=j, k=k, w_mask=w_mask, taps=taps):
-                a_re = acc_re_ref[:]
-                a_im = acc_im_ref[:] if iq else None
-                for q in range(g0, g1):
-                    base = q * CHUNK
-                    # block layout (1, TB, planes, S): plane 0=re, 1=im
-                    src_re = jnp.broadcast_to(
-                        rf_ref[0, j, 0:1, base:base + CHUNK].reshape(
-                            1, CHUNK), (TILE_SUB, CHUNK))
-                    if iq:
-                        src_im = jnp.broadcast_to(
-                            rf_ref[0, j, 1:2, base:base + CHUNK].reshape(
-                                1, CHUNK), (TILE_SUB, CHUNK))
-                    for off, w in taps:
-                        r = k + off - base
-                        sel = (r >= 0) & (r < CHUNK)
-                        rc = jnp.clip(r, 0, CHUNK - 1)
-                        wsel = jnp.where(sel, w_mask * w, 0.0)
-                        if ABLATE.get("no_gather"):
-                            a_re = a_re + wsel * src_re
-                            if iq:
-                                a_im = a_im + wsel * src_im
-                            continue
-                        a_re = a_re + wsel * jnp.take_along_axis(
-                            src_re, rc, axis=-1)
+            def _(g0=g0, g1=g1, preps=preps):
+                for slot, i, j, k, tap_w, _ in preps:
+                    a_re = acc_re_ref[slot]
+                    a_im = acc_im_ref[slot] if iq else None
+                    for q in range(g0, g1):
+                        base = q * CHUNK
+                        # block layout (CB, TB, planes, S): 0=re, 1=im
+                        src_re = jnp.broadcast_to(
+                            rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
+                                1, CHUNK), (ts, CHUNK))
                         if iq:
-                            a_im = a_im + wsel * jnp.take_along_axis(
-                                src_im, rc, axis=-1)
-                acc_re_ref[:] = a_re
-                if iq:
-                    acc_im_ref[:] = a_im
+                            src_im = jnp.broadcast_to(
+                                rf_ref[i, j, 1:2, base:base + CHUNK].reshape(
+                                    1, CHUNK), (ts, CHUNK))
+                        for off, wt in tap_w:
+                            r = k + off - base
+                            # one unsigned compare: negative r wraps high
+                            sel = r.astype(jnp.uint32) < CHUNK
+                            rc = r if ABLATE.get("noclip") else \
+                                jnp.clip(r, 0, CHUNK - 1)
+                            wsel = jnp.where(sel, wt, 0.0)
+                            if ABLATE.get("no_gather"):
+                                a_re = a_re + wsel * src_re
+                                if iq:
+                                    a_im = a_im + wsel * src_im
+                                continue
+                            a_re = a_re + wsel * jnp.take_along_axis(
+                                src_re, rc, axis=-1)
+                            if iq:
+                                a_im = a_im + wsel * jnp.take_along_axis(
+                                    src_im, rc, axis=-1)
+                    acc_re_ref[slot] = a_re
+                    if iq:
+                        acc_im_ref[slot] = a_im
 
-        if iq and not ABLATE.get("no_rotation"):
-            # rotate the (tile, c, a) contribution once (das.glsl:51-59)
-            arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
-                   * index / scalars_ref[_SC_FS])
-            ph_re = jnp.cos(arg)
-            ph_im = jnp.sin(arg)
-            a_re = acc_re_ref[:]
-            a_im = acc_im_ref[:]
-            rot_re = a_re * ph_re - a_im * ph_im
-            rot_im = a_re * ph_im + a_im * ph_re
-            sum_re = sum_re + rot_re
-            sum_im = sum_im + rot_im
-            if st.coherency_weighting:
-                sum_in = sum_in + jnp.sqrt(rot_re * rot_re
-                                           + rot_im * rot_im)
-        elif iq:
-            sum_re = sum_re + acc_re_ref[:]
-            sum_im = sum_im + acc_im_ref[:]
-        else:
-            sum_re = sum_re + acc_re_ref[:]
-            if st.coherency_weighting:
-                sum_in = sum_in + jnp.abs(acc_re_ref[:])
+        for slot, i, j, k, tap_w, index in preps:
+            if iq and not ABLATE.get("no_rotation"):
+                # rotate the (tile, c, a) contribution once (das.glsl:51-59)
+                arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
+                       * index / scalars_ref[_SC_FS])
+                ph_re = jnp.cos(arg)
+                ph_im = jnp.sin(arg)
+                a_re = acc_re_ref[slot]
+                a_im = acc_im_ref[slot]
+                rot_re = a_re * ph_re - a_im * ph_im
+                rot_im = a_re * ph_im + a_im * ph_re
+                sum_re = sum_re + rot_re
+                sum_im = sum_im + rot_im
+                if st.coherency_weighting:
+                    sum_in = sum_in + jnp.sqrt(rot_re * rot_re
+                                               + rot_im * rot_im)
+            elif iq:
+                sum_re = sum_re + acc_re_ref[slot]
+                sum_im = sum_im + acc_im_ref[slot]
+            else:
+                sum_re = sum_re + acc_re_ref[slot]
+                if st.coherency_weighting:
+                    sum_in = sum_in + jnp.abs(acc_re_ref[slot])
 
     out_re_ref[:] += sum_re
     if iq:
@@ -531,15 +609,34 @@ def _das_tile_step(st, tx_block, tile, ch, blk, first, scalars_ref, t0_ref,
         out_in_ref[:] += sum_in
 
 
+def _pred_share(st) -> int:
+    """Channels sharing one chunk-group predicate region (RCA only).
+    Default: the whole channel block (measured best with per-chunk groups:
+    one scalar branch serves all 8 channels' gathers)."""
+    return max(1, int(ABLATE.get("pred_share", 8)))
+
+
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
 
 
+def _act_margin():
+    return np.float32(ABLATE.get("margin", _ACT_MARGIN))
+
+
 def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
-                   n_grid: int):
-    """(n_tiles,) int32 flags: 1 if any (voxel, channel, acq) of the tile can
-    contribute — its delay-index interval overlaps [0, S) and some channel's
-    f-number cone contains it.  A conservative over-approximation (false
-    positives only cost time; the kernel's own masks stay authoritative).
+                   n_grid: int, n_cb: int = 1, ch_block: int = 1):
+    """Per-tile activity flags + (RCA) per-(tile, channel-unit) chunk bounds.
+
+    Returns ``(act, qlo, qhi)``: ``act`` is (n_tiles,) int32 — 1 if any
+    (voxel, channel, acq) of the tile can contribute (delay-index interval
+    overlaps [0, S) and some channel's f-number cone contains it).  For the
+    RCA family, ``qlo``/``qhi`` are (n_tiles * n_cb,) int32 conservative
+    RF-chunk bounds per (tile, channel-unit) — prefetched so the kernel's
+    chunk predicates are pure scalar reads instead of vector->scalar
+    reductions (which stall the scalar core on the vector pipeline).
+    Inactive units encode (nq, -1) so every group predicate is false.
+    A conservative over-approximation throughout (false positives only cost
+    time; the kernel's own masks stay authoritative).
 
     Runs vectorized over the full voxel grid inside the jit wrapper, so it
     tracks the *traced* sampling frequency / speed of sound — unlike a
@@ -547,11 +644,13 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     """
     rt, zt = _n_row_tiles(st), _n_z_tiles(st)
     if st.family == "hercules":        # conservative: no skip yet
-        return jnp.ones(rt * zt, jnp.int32)
+        return (jnp.ones(rt * zt, jnp.int32),
+                jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
     n_rows, n_lanes = _axes(st)
     nx, ny, nz = st.output_points
     gnx, gny, gnz = st.global_points or (nx, ny, nz)
-    row = jnp.arange(rt * TILE_SUB, dtype=jnp.int32)[:, None]
+    ts = _tile_rows(st)
+    row = jnp.arange(rt * ts, dtype=jnp.int32)[:, None]
     lane = jnp.arange(zt * TILE_LANE, dtype=jnp.int32)[None, :]
     if nz > 1:
         iz, iy, ix = lane, row % ny, row // ny
@@ -597,32 +696,59 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         tx_max = jnp.sqrt(base2 + tdmax * tdmax) * (fs / sos)
         vox = (cone & in_range & (rx_max + tx_max >= s_lo)
                & (rx_min + tx_min <= s_hi))
-    else:   # rca
+    else:   # rca — also computes per-(tile, channel-unit) chunk bounds
         xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
         yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
         zw = xdc[2, 0] * x + xdc[2, 1] * y + xdc[2, 2] * z + xdc[2, 3]
-        vox = jnp.zeros(x.shape, bool)
+        # channel-unit intervals (n_cb, 1, 1): unit cu covers channels
+        # [ch0 + cu*cb, ch0 + cu*cb + cb - 1] (clamped)
+        cuf = jnp.arange(n_cb, dtype=jnp.float32)[:, None, None]
+        c0 = ch0 + cuf * np.float32(ch_block)
+        c1 = jnp.minimum(c0 + np.float32(ch_block - 1), chn)
+        kmin = jnp.full((n_cb,) + x.shape, np.inf, jnp.float32)
+        kmax = jnp.full((n_cb,) + x.shape, -np.inf, jnp.float32)
+        azw = jnp.abs(zw)
+        zw2 = zw * zw
         for a in range(n_grid):
             packed = t0_arr[2 * a]
             tx_o = jnp.floor(packed / 16.0)
             rx_rows = (packed - tx_o * 16.0) == np.float32(1.0)
             lat = jnp.where(rx_rows, yw, xw)
             p = jnp.where(rx_rows, pyp, pxp)
-            lo = jnp.minimum(ch0 * p, chn * p)
-            hi = jnp.maximum(ch0 * p, chn * p)
+            lo = jnp.minimum(c0 * p, c1 * p)
+            hi = jnp.maximum(c0 * p, c1 * p)
             dmin, dmax = interval_dist(lat, lo, hi)
-            cone = jnp.abs(fnum * dmin / jnp.abs(zw)) < 0.5
-            zw2 = zw * zw
+            cone = fnum * dmin / azw < 0.5
             rmin = jnp.sqrt(dmin * dmin + zw2)
             rmax = jnp.sqrt(dmax * dmax + zw2)
             txd = _rca_tx_distance_tile(x, y, z, tx_o, t0_arr[2 * a + 1],
                                         t1_arr[a])
             imin = ((txd + rmin) / sos + t0) * fs
             imax = ((txd + rmax) / sos + t0) * fs
-            vox = vox | (cone & in_range & (imax >= s_lo) & (imin <= s_hi))
+            ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
+            kmin = jnp.minimum(kmin, jnp.where(ok, imin, np.inf))
+            kmax = jnp.maximum(kmax, jnp.where(ok, imax, -np.inf))
+        # tile-reduce -> (n_cb, rt, zt), then [tile * n_cb + cu] order
+        kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
+        kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
+        nq = _cdiv(st.sample_count, CHUNK)
+        unit_on = jnp.isfinite(kmax_t)
+        qlo = jnp.where(
+            unit_on,
+            jnp.clip(jnp.floor((kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(nq)).astype(jnp.int32)
+        qhi = jnp.where(
+            unit_on,
+            jnp.clip(jnp.floor((kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(-1)).astype(jnp.int32)
+        act = unit_on.any(axis=0)
+        return (act.reshape(-1).astype(jnp.int32),
+                qlo.transpose(1, 2, 0).reshape(-1),
+                qhi.transpose(1, 2, 0).reshape(-1))
 
-    act = vox.reshape(rt, TILE_SUB, zt, TILE_LANE).any(axis=(1, 3))
-    return act.reshape(-1).astype(jnp.int32)
+    act = vox.reshape(rt, ts, zt, TILE_LANE).any(axis=(1, 3))
+    return (act.reshape(-1).astype(jnp.int32),
+            jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
 
 
 @functools.lru_cache(maxsize=64)
@@ -646,37 +772,52 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     n_blocks = _cdiv(n_acq_grid, tx_block)
     a_pad = n_blocks * tx_block
 
-    # NOTE: last two block dims must equal the array dims (or be (8,128)
-    # multiples): layout is (C, A, planes, S) with block (1, TB, planes, S).
-    rf_block = (1, tx_block, 2, s_pad) if st.iq else (1, tx_block, 1, s_pad)
-    kernel = functools.partial(_das_kernel, st, tx_block)
+    # RCA: several channels per grid step (caches are channel-independent).
+    ch_block = min(ABLATE.get("ch_block", 8),
+                   st.local_channels) if st.family == "rca" else 1
+    n_ch_grid = _cdiv(st.local_channels, ch_block)
+    c_pad = n_ch_grid * ch_block
 
-    out_shapes = [jax.ShapeDtypeStruct((rt * TILE_SUB, zt * TILE_LANE),
+    # NOTE: last two block dims must equal the array dims (or be (8,128)
+    # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
+    rf_block = ((ch_block, tx_block, 2, s_pad) if st.iq
+                else (ch_block, tx_block, 1, s_pad))
+    kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
+                               n_ch_grid)
+
+    ts = _tile_rows(st)
+    out_shapes = [jax.ShapeDtypeStruct((rt * ts, zt * TILE_LANE),
                                        jnp.float32)] * 3
 
     # rf is laid out per *grid* transmit index (READI duplication resolved
     # on host), so the block index is simply the transmit-block number.
+    # Inactive tiles never read RF: collapse their block index to the
+    # previous fetch target so the pipeline skips the HBM->VMEM copy
+    # (consecutive identical block indices are not re-fetched).
     if st.family == "rca":
         # Channels innermost so per-(tile, block) transmit planes cached at
         # ch == 0 stay valid for the whole channel sweep.
-        grid = (n_tiles, n_blocks, st.local_channels)
-        out_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
+        grid = (n_tiles, n_blocks, n_ch_grid)
+        out_spec = pl.BlockSpec((ts, TILE_LANE),
                                 lambda i, b, c, *_: (i // zt, i % zt),
                                 memory_space=pltpu.VMEM)
 
-        def rf_index(i, b, c, *_):
-            return (c, b, 0, 0)
+        def rf_index(i, b, c, scalars, t0, t1, act, *_):
+            on = act[i] > 0
+            return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
     else:
         grid = (n_tiles, st.local_channels, n_blocks)
-        out_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
+        out_spec = pl.BlockSpec((ts, TILE_LANE),
                                 lambda i, c, q, *_: (i // zt, i % zt),
                                 memory_space=pltpu.VMEM)
 
-        def rf_index(i, c, b, *_):
-            return (c, b, 0, 0)
+        def rf_index(i, c, b, scalars, t0, t1, act, *_):
+            on = act[i] > 0
+            return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,    # scalars, two geometry tables, tile flags
+        num_scalar_prefetch=6,    # scalars, geometry tables, tile flags,
+                                  # per-(tile, ch-unit) chunk bounds
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # voxel transform (4,4)
@@ -686,12 +827,14 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         ],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
-            pltpu.VMEM((TILE_SUB, TILE_LANE), jnp.float32),
-            pltpu.VMEM((4, TILE_SUB, TILE_LANE), jnp.float32),
-            pltpu.VMEM((3, TILE_SUB, TILE_LANE), jnp.float32),
-            pltpu.VMEM((5, TILE_SUB, TILE_LANE), jnp.float32),
-            pltpu.VMEM((tx_block, TILE_SUB, TILE_LANE), jnp.float32),
+            pltpu.VMEM((_pred_share(st) if st.family == "rca" else 1,
+                        ts, TILE_LANE), jnp.float32),    # acc re (per slot)
+            pltpu.VMEM((_pred_share(st) if st.family == "rca" else 1,
+                        ts, TILE_LANE), jnp.float32),    # acc im (per slot)
+            pltpu.VMEM((4, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((3, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),
         ],
     )
 
@@ -722,13 +865,16 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         else:
             rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
         pad_a = a_pad - rf_planes.shape[1]
-        if s_pad != s or pad_a:
+        pad_c = c_pad - rf_planes.shape[0]
+        if s_pad != s or pad_a or pad_c:
+            # Zero-padded channels/transmits gather zeros -> contribute 0.
             rf_planes = jnp.pad(
-                rf_planes, ((0, 0), (0, pad_a), (0, 0), (0, s_pad - s)))
-        act = _tile_activity(st, scalars, t0_arr, t1_arr, vt, xdc,
-                             n_acq_grid)
-        out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, vt, xdc,
-                                    rf_planes)
+                rf_planes, ((0, pad_c), (0, pad_a), (0, 0), (0, s_pad - s)))
+        act, qlo, qhi = _tile_activity(st, scalars, t0_arr, t1_arr, vt,
+                                       xdc, n_acq_grid, n_cb=n_ch_grid,
+                                       ch_block=ch_block)
+        out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
+                                    vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
 
         def trim(o):

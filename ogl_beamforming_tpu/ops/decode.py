@@ -10,10 +10,14 @@ conversion and the 1/T scale for the bandwidth-bound small-T cases.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..utils.hadamard import hadamard as _hadamard_host
 
@@ -36,6 +40,9 @@ def decode_hadamard(rf: jax.Array, hadamard: jax.Array,
     ~1e-7 relative error (verified on hardware) at ~2x the throughput of
     ``highest``.
     """
+    if precision == "high" and _use_pallas_decode(rf):
+        return decode_hadamard_pallas(rf, hadamard)
+
     a = rf.shape[1]
     scale = jnp.float32(1.0 / a)
 
@@ -58,3 +65,98 @@ def decode_hadamard(rf: jax.Array, hadamard: jax.Array,
 def decode_hadamard_ref(rf, hadamard):
     """Unjitted version for composition inside larger jitted pipelines."""
     return decode_hadamard.__wrapped__(rf, hadamard, precision="high")
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas decode: int16 -> split-bf16 MXU matmul, direct (C, A, S) out
+# ---------------------------------------------------------------------------
+#
+# The XLA path materializes an f32 copy of the input, the (C, S, A) matmul
+# result, AND a transposed (C, A, S) output — ~6 GB of HBM traffic for the
+# T=256 sweep point (0.54 GB of input).  This kernel reads int16, splits it
+# into two bf16 planes (hi + lo is *exact* for int16 range: hi rounds to 8
+# mantissa bits, the residual |lo| <= 2^7 is integer-exact in bf16), runs two
+# MXU passes against the (+-1-exact) bf16 Hadamard, and writes (C, A, S)
+# f32 directly with the 1/T scale folded in — the TPU equivalent of the
+# reference's one-pass coop-matrix decode (decode.glsl:76-117).
+
+def _decode_kernel(scale, h_ref, rf_ref, out_ref):
+    x = rf_ref[0].astype(jnp.float32)                 # (A, BS)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    h = h_ref[:]                                      # (A, A) bf16
+    dn = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(h, hi, dn, preferred_element_type=jnp.float32)
+    acc = acc + jax.lax.dot_general(h, lo, dn,
+                                    preferred_element_type=jnp.float32)
+    out_ref[0] = acc * np.float32(scale)
+
+
+def _decode_kernel_cb(scale, cb, h_ref, rf_ref, out_ref):
+    """Channel-blocked variant: ``cb`` channels per grid step (amortizes
+    grid/bookkeeping overhead for small transmit counts)."""
+    h = h_ref[:]
+    dn = (((1,), (0,)), ((), ()))
+    for i in range(cb):
+        x = rf_ref[i].astype(jnp.float32)
+        hi = x.astype(jnp.bfloat16)
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(h, hi, dn,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(h, lo, dn,
+                                        preferred_element_type=jnp.float32)
+        out_ref[i] = acc * np.float32(scale)
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_call(c: int, a: int, s: int, interpret: bool):
+    # Large sample blocks + channel blocking keep the grid small: the sweep
+    # shapes are bandwidth-bound and per-step overhead dominated at small A.
+    bs = min(2048, -(-s // 512) * 512)
+    s_pad = -(-s // bs) * bs
+    # cap the VMEM block footprint: cb*a*bs elements live as i16 in, f32,
+    # two bf16 planes and f32 out (double-buffered) — ~786k elements is the
+    # largest measured-safe block on v5e
+    cb = min(4, max(1, 786432 // (a * bs)))
+    while cb > 1 and c % cb:
+        cb -= 1
+    kernel = partial(_decode_kernel_cb, 1.0 / a, cb)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(c // cb, s_pad // bs),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # H (A, A) bf16
+            pl.BlockSpec((cb, a, bs), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, a, bs), lambda i, j: (i, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c, a, s_pad), jnp.float32),
+        interpret=interpret,
+    )
+
+    def run(rf, h):
+        if s_pad != s:
+            rf = jnp.pad(rf, ((0, 0), (0, 0), (0, s_pad - s)))
+        out = fn(h.astype(jnp.bfloat16), rf)
+        return out[:, :, :s] if s_pad != s else out
+
+    return run
+
+
+def decode_hadamard_pallas(rf: jax.Array, hadamard: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """Fused int16 decode (see module notes).  ``rf``: (C, A, S) int16.
+
+    Bitwise-exact for int16-range inputs (split-bf16 products are exact and
+    accumulate in f32); matches golden.decode_hadamard.
+    """
+    c, a, s = rf.shape
+    return _decode_call(c, a, s, interpret)(rf, hadamard)
+
+
+def _use_pallas_decode(rf) -> bool:
+    # int16 raw input on real TPU, with a Mosaic-friendly sublane count
+    # (12/20-order Hadamards fall back to the XLA matmul).
+    return (rf.dtype == jnp.int16 and rf.shape[1] % 8 == 0
+            and jax.default_backend() == "tpu")

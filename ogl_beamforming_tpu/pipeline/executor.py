@@ -217,6 +217,30 @@ class Beamformer:
             b.dirty = False
         return b._plan
 
+    def _stage_fractions(self, plan: CompiledPlan, rf) -> list[float]:
+        """Per-stage share of frame time, calibrated once per plan by
+        running each stage's individually-jitted fn with readback-forced
+        timing (then cached on the plan object)."""
+        cached = getattr(plan, "_stage_fractions", None)
+        if cached is not None:
+            return cached
+        n_stages = max(len(plan.descriptor.stages), 1)
+        try:
+            times = []
+            out = rf
+            for fn in compiled_stage_fns(plan.descriptor):
+                sync(out)
+                t0 = time.perf_counter()
+                out = fn(out, plan.dyn)
+                sync(out)
+                times.append(max(time.perf_counter() - t0, 1e-9))
+            total = sum(times)
+            fractions = [t / total for t in times]
+        except Exception:               # calibration must never break compute
+            fractions = [1.0 / n_stages] * n_stages
+        plan._stage_fractions = fractions
+        return fractions
+
     def push_data_with_compute(self, data: np.ndarray,
                                image_plane_tag: int = 0,
                                block: int = 0) -> Frame:
@@ -266,10 +290,14 @@ class Beamformer:
             out = plan(rf)
             sync(out)
             dt = time.perf_counter() - t0
-            n_stages = max(len(plan.descriptor.stages), 1)
-            # Fused pipeline: whole-program time attributed evenly across
-            # stages (use profile=True for true per-stage times).
-            self.stats.record_frame([dt / n_stages] * n_stages)
+            # Fused pipeline: attribute the measured frame time across
+            # stages by calibrated fractions (each stage timed individually
+            # once per plan) — stage times sum to the true frame time and
+            # reflect real relative cost, the fused analogue of the
+            # reference's per-dispatch timestamps
+            # (beamformer_core.c:1602-1628).
+            fractions = self._stage_fractions(plan, rf)
+            self.stats.record_frame([dt * f for f in fractions])
         frame = Frame(data=out, id=self._frame_id,
                       view_plane=ViewPlaneTag(image_plane_tag))
         self._frame_id += 1

@@ -11,16 +11,99 @@
  * single-producer ring with the write/read indices packed in one atomic u64
  * (idea from beamformer_shared_memory.c:57-218, re-implemented).
  */
-#define _GNU_SOURCE
+#ifndef _WIN32
+#define _GNU_SOURCE          /* must precede every libc include (syscall) */
+#endif
+
 #include "beamformer_abi.h"
 
-#include <errno.h>
-#include <fcntl.h>
-#include <linux/futex.h>
 #include <stdatomic.h>
 #include <stddef.h>
 #include <stdlib.h>
 #include <string.h>
+
+/* ------------------------------------------------------------------ */
+/* platform layer: shared memory + 32-bit address wait/wake            */
+/*                                                                     */
+/* Everything above this layer (locks, the claim/commit work queue,    */
+/* the client/server API) is platform-independent.  Two backends:      */
+/*   POSIX: shm_open/mmap + the Linux futex syscall                    */
+/*   Win32: CreateFileMapping/MapViewOfFile + WaitOnAddress            */
+/*          (reference: base_win32.c, beamformer_shared_memory.c:220)  */
+/* ------------------------------------------------------------------ */
+
+#ifdef _WIN32
+
+#ifdef BF_WIN32_SYNTAX_CHECK
+#include "win32_check.h"     /* self-declared API subset for -fsyntax-only */
+#else
+#include <windows.h>
+#pragma comment(lib, "synchronization.lib")
+#endif
+
+#ifdef BF_WIN32_SYNTAX_CHECK
+#define EXPORT               /* gcc has no __declspec */
+#else
+#define EXPORT __declspec(dllexport)
+#endif
+#define BF_DEFAULT_SHM_NAME "Local\\ogl_beamformer_tpu_shared_memory"
+
+static int futex_wait(_Atomic u32 *addr, u32 expect, i32 timeout_ms)
+{
+	u32 cmp = expect;
+	if (!WaitOnAddress((volatile void *)addr, &cmp, sizeof(u32),
+	                   timeout_ms < 0 ? 0xFFFFFFFFu : (u32)timeout_ms))
+		return -1;            /* timeout (GetLastError()==ERROR_TIMEOUT) */
+	return 0;
+}
+
+static void futex_wake(_Atomic u32 *addr, i32 count)
+{
+	if (count == 1) WakeByAddressSingle((void *)addr);
+	else            WakeByAddressAll((void *)addr);
+}
+
+static void *os_shm_map(const char *name, u64 *size_out)
+{
+	HANDLE h = OpenFileMappingA(FILE_MAP_ALL_ACCESS, 0, name);
+	if (!h) return 0;
+	void *mem = MapViewOfFile(h, FILE_MAP_ALL_ACCESS, 0, 0, 0);
+	CloseHandle(h);           /* view keeps the mapping alive */
+	if (!mem) return 0;
+	MEMORY_BASIC_INFORMATION info;
+	VirtualQuery(mem, &info, sizeof(info));
+	*size_out = (u64)info.RegionSize;
+	return mem;
+}
+
+static void *os_shm_create(const char *name, u64 size)
+{
+	HANDLE h = CreateFileMappingA(INVALID_HANDLE_VALUE, 0, PAGE_READWRITE,
+	                              (u32)(size >> 32), (u32)size, name);
+	if (!h) return 0;
+	void *mem = MapViewOfFile(h, FILE_MAP_ALL_ACCESS, 0, 0, 0);
+	/* NOTE: the mapping handle is intentionally leaked for the server's
+	 * lifetime (named mappings vanish when all handles close). */
+	if (!mem) { CloseHandle(h); return 0; }
+	return mem;
+}
+
+static void os_shm_unmap(void *mem, u64 size)
+{
+	(void)size;
+	UnmapViewOfFile(mem);
+}
+
+static void os_shm_unlink(const char *name)
+{
+	(void)name;               /* named mappings die with their handles */
+}
+
+#else  /* POSIX */
+
+#include <errno.h>
+#include <fcntl.h>
+#include <linux/futex.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <sys/syscall.h>
@@ -28,13 +111,7 @@
 #include <unistd.h>
 
 #define EXPORT __attribute__((visibility("default")))
-
 #define BF_DEFAULT_SHM_NAME "/ogl_beamformer_tpu_shared_memory"
-#define BF_DEFAULT_SHM_SIZE (2ull << 30)
-
-/* ------------------------------------------------------------------ */
-/* futex helpers                                                       */
-/* ------------------------------------------------------------------ */
 
 static int futex_wait(_Atomic u32 *addr, u32 expect, i32 timeout_ms)
 {
@@ -54,16 +131,67 @@ static void futex_wake(_Atomic u32 *addr, i32 count)
 	syscall(SYS_futex, (u32 *)addr, FUTEX_WAKE, count, 0, 0, 0);
 }
 
+static void *os_shm_map(const char *name, u64 *size_out)
+{
+	int fd = shm_open(name, O_RDWR, S_IRUSR | S_IWUSR);
+	if (fd == -1) return 0;
+	struct stat st;
+	if (fstat(fd, &st) == -1 || (u64)st.st_size < sizeof(BfSharedMemory)) {
+		close(fd);
+		return 0;
+	}
+	void *mem = mmap(0, st.st_size, PROT_READ | PROT_WRITE, MAP_SHARED,
+	                 fd, 0);
+	close(fd);
+	if (mem == MAP_FAILED) return 0;
+	*size_out = st.st_size;
+	return mem;
+}
+
+static void *os_shm_create(const char *name, u64 size)
+{
+	shm_unlink(name);
+	int fd = shm_open(name, O_CREAT | O_RDWR, S_IRUSR | S_IWUSR);
+	if (fd == -1) return 0;
+	if (ftruncate(fd, size) == -1) { close(fd); return 0; }
+	void *mem = mmap(0, size, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+	close(fd);
+	if (mem == MAP_FAILED) return 0;
+	return mem;
+}
+
+static void os_shm_unmap(void *mem, u64 size)
+{
+	munmap(mem, size);
+}
+
+static void os_shm_unlink(const char *name)
+{
+	shm_unlink(name);
+}
+
+#endif /* _WIN32 */
+
+#define BF_DEFAULT_SHM_SIZE (2ull << 30)
+
+static i64 os_monotonic_ms(void)
+{
+#ifdef _WIN32
+	return (i64)GetTickCount64();
+#else
+	struct timespec now;
+	clock_gettime(CLOCK_MONOTONIC, &now);
+	return now.tv_sec * 1000ll + now.tv_nsec / 1000000ll;
+#endif
+}
+
 /* Simple futex lock: 0 free, 1 held, 2 held-with-waiters. */
 static int bf_lock_acquire(_Atomic u32 *lock, i32 timeout_ms)
 {
 	u32 expected = 0;
 	if (atomic_compare_exchange_strong(lock, &expected, 1))
 		return 1;
-	struct timespec deadline;
-	clock_gettime(CLOCK_MONOTONIC, &deadline);
-	i64 end_ns = deadline.tv_sec * 1000000000ll + deadline.tv_nsec
-	           + (i64)timeout_ms * 1000000ll;
+	i64 end_ms = os_monotonic_ms() + timeout_ms;
 	for (;;) {
 		expected = 0;
 		if (atomic_compare_exchange_strong(lock, &expected, 2))
@@ -72,12 +200,9 @@ static int bf_lock_acquire(_Atomic u32 *lock, i32 timeout_ms)
 		if (timeout_ms < 0) {
 			futex_wait(lock, 2, -1);
 		} else {
-			struct timespec now;
-			clock_gettime(CLOCK_MONOTONIC, &now);
-			i64 now_ns = now.tv_sec * 1000000000ll + now.tv_nsec;
-			i64 left = end_ns - now_ns;
+			i64 left = end_ms - os_monotonic_ms();
 			if (left <= 0) return 0;
-			if (futex_wait(lock, 2, (i32)(left / 1000000ll)) == -1)
+			if (futex_wait(lock, 2, (i32)left) == -1)
 				return 0;
 		}
 	}
@@ -143,19 +268,14 @@ static u8 bf_data_kind_byte_size[] = {2, 4, 4, 8, 2, 4};
 static int check_shared_memory(void)
 {
 	if (!g_ctx.shm) {
-		int fd = shm_open(bf_shm_name(), O_RDWR, S_IRUSR | S_IWUSR);
-		if (fd == -1) { set_error(BeamformerLibErrorKind_SharedMemory); return 0; }
-		struct stat st;
-		if (fstat(fd, &st) == -1 || (u64)st.st_size < sizeof(BfSharedMemory)) {
-			close(fd);
+		u64 size = 0;
+		void *mem = os_shm_map(bf_shm_name(), &size);
+		if (!mem || size < sizeof(BfSharedMemory)) {
 			set_error(BeamformerLibErrorKind_SharedMemory);
 			return 0;
 		}
-		void *mem = mmap(0, st.st_size, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
-		close(fd);
-		if (mem == MAP_FAILED) { set_error(BeamformerLibErrorKind_SharedMemory); return 0; }
 		g_ctx.shm      = (BfSharedMemory *)mem;
-		g_ctx.shm_size = st.st_size;
+		g_ctx.shm_size = size;
 	}
 	if (g_ctx.shm->version != BF_TPU_API_VERSION) {
 		set_error(BeamformerLibErrorKind_VersionMismatch);
@@ -706,13 +826,8 @@ EXPORT void *bf_server_create(u64 total_size)
 {
 	if (total_size < sizeof(BfSharedMemory) + (1u << 20))
 		total_size = BF_DEFAULT_SHM_SIZE;
-	shm_unlink(bf_shm_name());
-	int fd = shm_open(bf_shm_name(), O_CREAT | O_RDWR, S_IRUSR | S_IWUSR);
-	if (fd == -1) return 0;
-	if (ftruncate(fd, total_size) == -1) { close(fd); return 0; }
-	void *mem = mmap(0, total_size, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
-	close(fd);
-	if (mem == MAP_FAILED) return 0;
+	void *mem = os_shm_create(bf_shm_name(), total_size);
+	if (!mem) return 0;
 	memset(mem, 0, sizeof(BfSharedMemory));
 
 	BfSharedMemory *shm = (BfSharedMemory *)mem;
@@ -746,9 +861,9 @@ EXPORT void bf_server_destroy(void)
 		atomic_store(&g_ctx.shm->server_alive, 0);
 		atomic_fetch_add(&g_ctx.shm->done_futex, 1);
 		futex_wake(&g_ctx.shm->done_futex, 0x7fffffff);
-		munmap((void *)g_ctx.shm, g_ctx.shm_size);
+		os_shm_unmap((void *)g_ctx.shm, g_ctx.shm_size);
 		g_ctx.shm = 0;
-		shm_unlink(bf_shm_name());
+		os_shm_unlink(bf_shm_name());
 	}
 }
 

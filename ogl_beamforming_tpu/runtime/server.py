@@ -100,7 +100,7 @@ class BeamformerServer:
     """Owns the shm region and a worker thread servicing client requests."""
 
     def __init__(self, beamformer: Beamformer | None = None,
-                 shm_size: int = 1 << 30):
+                 shm_size: int = 1 << 30, pipelined: bool = True):
         self.lib = abi.load_library()
         if not self.lib.bf_server_create(shm_size):
             raise BeamformerError(ErrorKind.SharedMemory,
@@ -111,6 +111,16 @@ class BeamformerServer:
         self.beamformer = beamformer or Beamformer()
         self._thread: threading.Thread | None = None
         self._stop = threading.Event()
+        # Pipelined ingest: ComputeIndirect work is routed through a
+        # per-block StreamingSession so host prep / H2D / compute overlap
+        # (the reference's upload+compute worker threads + 3-slot RF ring,
+        # beamformer.c:292-305, beamformer_core.c:1728-1777).
+        self._pipelined = pipelined
+        self._sessions: dict[int, object] = {}
+        live_dirty = ct.POINTER(ct.c_uint32)()
+        self._live = self.lib.bf_server_live(ct.byref(live_dirty))
+        self._live_dirty_ptr = live_dirty
+        self._imaging_stopped = False
 
     # -- lifecycle ------------------------------------------------------
 
@@ -124,7 +134,38 @@ class BeamformerServer:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5)
+        for s in self._sessions.values():
+            s.close()
+        self._sessions.clear()
         self.lib.bf_server_destroy()
+
+    # -- streaming sessions ----------------------------------------------
+
+    def _live_stop_requested(self) -> bool:
+        """Peek the shm live-imaging control: stop when a client set
+        active = 0 with a pending StopImaging flag (throughput.c:558-560).
+        Does not consume the flag — that belongs to polling clients."""
+        from ..params.enums import LiveImagingDirtyFlags
+        pending = self._live_dirty_ptr.contents.value
+        if (not self._live.contents.active
+                and pending & LiveImagingDirtyFlags.StopImaging):
+            self._imaging_stopped = True
+        elif self._live.contents.active:
+            self._imaging_stopped = False    # restart
+        return self._imaging_stopped
+
+    def _session(self, block: int):
+        s = self._sessions.get(block)
+        if s is None:
+            from .streaming import StreamingSession
+            s = StreamingSession(self.beamformer, block=block,
+                                 stop_check=self._live_stop_requested)
+            self._sessions[block] = s
+        return s
+
+    def _flush_sessions(self):
+        for s in self._sessions.values():
+            s.flush()
 
     def __enter__(self):
         return self.start()
@@ -169,7 +210,7 @@ class BeamformerServer:
         beamformer_commit_parameter_block (beamformer_core.c:1008-1120)."""
         dirty = self.lib.bf_server_take_dirty(index)
         if not dirty:
-            return
+            return 0
         cb = self.lib.bf_server_block(index).contents
         bf = self.beamformer
         if index >= bf._reserved:
@@ -199,29 +240,47 @@ class BeamformerServer:
                 if cb.filter_valid_mask & (1 << slot):
                     bf.create_filter(_filter_from_c(cb.filters[slot]), slot,
                                      block=index)
+        return dirty
 
     def _dispatch(self, work: abi.CWork) -> int:
         kind = work.kind
         if kind == abi.WorkKind.COMPUTE_INDIRECT:
             info = self.lib.bf_server_rf_info()
-            block = (info >> 32) & 0xFFFFFFFF
+            block = int((info >> 32) & 0xFFFFFFFF)
             rf_bytes = info & 0xFFFFFFFF
             if rf_bytes == 0:
                 return int(ErrorKind.DataSizeMismatch)
-            self._commit_block(int(block))
-            b = self.beamformer._blocks[int(block)]
+            # Parameter commits re-trace plans: quiesce in-flight preps of
+            # this block's session before mutating executor state.
+            if (self._pipelined and block in self._sessions
+                    and self.lib.bf_server_block(block).contents.dirty_regions):
+                self._sessions[block].flush()
+            self._commit_block(block)
+            b = self.beamformer._blocks[block]
             p = b.parameters
             wire = _WIRE_DTYPE[b.pipeline.data_kind]
             raw = self._scratch(rf_bytes).view(wire)
             channels = int(p.raw_data_dimensions[1]) or p.channel_count
             raw = raw.reshape(channels, -1).copy()
             self.lib.bf_server_release_upload()
-            self.beamformer.push_data_with_compute(
-                raw, image_plane_tag=int(work.view_plane), block=int(block))
+            if self._pipelined:
+                session = self._session(block)
+                if not self._live_stop_requested():
+                    session.stop_requested = False   # restart after stop
+                    session.submit(raw, image_plane_tag=int(work.view_plane))
+                # else: imaging stopped — drop the frame (reference client
+                # loops stop pushing; we also guard server-side).
+            else:
+                self.beamformer.push_data_with_compute(
+                    raw, image_plane_tag=int(work.view_plane), block=block)
             self._publish_stats()
             return 0
 
         if kind == abi.WorkKind.EXPORT_FRAMES:
+            # A client may push-then-export immediately: make sure queued
+            # frames have been dispatched (device completion is forced by
+            # the host copy below).
+            self._flush_sessions()
             frames = self.beamformer.get_last_frames(int(work.arg0))
             out_limit = min(int(work.arg1), self._scratch_size)
             offset = 0

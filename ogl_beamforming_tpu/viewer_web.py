@@ -60,7 +60,7 @@ _PAGE = """<!doctype html>
  label { display:block; margin-top:.5em; }
  table { border-collapse:collapse; } td { padding:2px 8px; }
 </style></head><body>
-<h3>ogl_beamforming_tpu &mdash; live view</h3>
+<h3>ogl_beamforming_tpu &mdash; live view (<a href="/xplane" style="color:#6af">3D x-plane</a>)</h3>
 <div class="row">
  <div>
   <img id="frame" width="512"/>
@@ -108,6 +108,94 @@ document.getElementById('stop').onclick = () =>
 """
 
 
+_XPLANE_PAGE = """<!doctype html>
+<html><head><title>ogl_beamforming_tpu x-plane</title>
+<style>
+ body { background:#111; color:#ddd; font-family:monospace; margin:1em; }
+ .row { display:flex; gap:1.5em; align-items:flex-start; flex-wrap:wrap; }
+ img { image-rendering:pixelated; border:1px solid #444; }
+ #view3d { cursor:grab; }
+ label { display:block; margin-top:.5em; }
+ input[type=number] { width:8em; background:#222; color:#ddd;
+   border:1px solid #555; }
+</style></head><body>
+<h3>3D X-plane view &mdash; drag a plane to slice, drag space to orbit</h3>
+<div class="row">
+ <div>
+  <img id="view3d" width="512" height="512"/>
+  <label>dB cutoff <input id="db" type="range" min="-100" max="-10"
+    value="-60"/> <span id="dbv">-60</span></label>
+  <label>gamma <input id="gamma" type="range" min="20" max="300"
+    value="100"/> <span id="gv">1.0</span></label>
+ </div>
+ <div>
+  <div>X plane <img id="sx" width="200"/></div>
+  <div>Y plane <img id="sy" width="200"/></div>
+  <div>Z plane <img id="sz" width="200"/></div>
+ </div>
+ <div>
+  <h4>parameters (live)</h4>
+  <div id="params"></div>
+ </div>
+</div>
+<script>
+let yaw = 0.6, pitch = 0.45, offs = [0, 0, 0];
+let dragAxis = null, orbiting = false, lastX = 0, lastY = 0;
+const db = document.getElementById('db'), gamma = document.getElementById('gamma');
+const v3 = document.getElementById('view3d');
+function gval() { return gamma.value / 100; }
+function refresh3d() {
+  document.getElementById('dbv').textContent = db.value;
+  document.getElementById('gv').textContent = gval().toFixed(2);
+  v3.src = `/xplane.png?yaw=${yaw}&pitch=${pitch}&ox=${offs[0]}` +
+    `&oy=${offs[1]}&oz=${offs[2]}&db=${db.value}&gamma=${gval()}` +
+    `&t=${Date.now()}`;
+  for (const [i, id] of [[0,'sx'],[1,'sy'],[2,'sz']]) {
+    document.getElementById(id).src = `/slice.png?axis=${i}` +
+      `&frac=${(offs[i]+1)/2}&db=${db.value}&gamma=${gval()}&t=${Date.now()}`;
+  }
+}
+v3.onmousedown = async (e) => {
+  const r = v3.getBoundingClientRect();
+  lastX = e.clientX; lastY = e.clientY;
+  const res = await (await fetch('/pick', {method:'POST',
+    body: JSON.stringify({offsets: offs, yaw, pitch,
+      x: (e.clientX - r.left) * 512 / r.width,
+      y: (e.clientY - r.top) * 512 / r.height})})).json();
+  dragAxis = res.axis; orbiting = (dragAxis === null);
+  e.preventDefault();
+};
+window.onmousemove = async (e) => {
+  if (dragAxis === null && !orbiting) return;
+  const dx = e.clientX - lastX, dy = e.clientY - lastY;
+  lastX = e.clientX; lastY = e.clientY;
+  if (orbiting) { yaw += dx * 0.01; pitch += dy * 0.01; }
+  else {
+    const res = await (await fetch('/drag', {method:'POST',
+      body: JSON.stringify({offsets: offs, axis: dragAxis, yaw, pitch,
+                            dx, dy})})).json();
+    offs = res.offsets;
+  }
+  refresh3d();
+};
+window.onmouseup = () => { dragAxis = null; orbiting = false; };
+async function loadParams() {
+  const p = await (await fetch('/params')).json();
+  const el = document.getElementById('params');
+  el.innerHTML = Object.entries(p).map(([k, v]) =>
+    `<label>${k} <input type="number" step="any" value="${v}"
+      onchange="setParam('${k}', this.value)"/></label>`).join('');
+}
+async function setParam(k, v) {
+  await fetch('/params', {method:'POST',
+                          body: JSON.stringify({[k]: parseFloat(v)})});
+}
+db.oninput = refresh3d; gamma.oninput = refresh3d;
+setInterval(refresh3d, 1000); refresh3d(); loadParams();
+</script></body></html>
+"""
+
+
 class LiveView:
     """HTTP live view over a :class:`..pipeline.executor.Beamformer`."""
 
@@ -141,6 +229,66 @@ class LiveView:
         return {"stages": stages,
                 "frame_ms": stats.average_frame_time() * 1e3,
                 "rf_delta_ms": stats.average_rf_delta() * 1e3}
+
+    # -- 3D X-plane view (ui.c:913-1068 counterpart) ---------------------
+
+    def _volume(self, db_cutoff=-60.0, gamma=1.0):
+        from .viewer_xplane import volume_bmode
+        frames = self.beamformer.get_last_frames(1)
+        if not frames:
+            return np.zeros((2, 2, 2), np.float32)
+        return volume_bmode(frames[-1], db_cutoff=db_cutoff, gamma=gamma)
+
+    def xplane_png(self, offsets, yaw=0.6, pitch=0.45, size=512,
+                   db_cutoff=-60.0, gamma=1.0) -> bytes:
+        from .viewer_xplane import render_xplane
+        img = render_xplane(self._volume(db_cutoff, gamma), offsets,
+                            yaw=yaw, pitch=pitch, size=size)
+        return encode_png_gray(img)
+
+    def slice_png(self, axis=2, frac=0.5, db_cutoff=-60.0,
+                  gamma=1.0) -> bytes:
+        from .viewer_xplane import slice_volume
+        img = slice_volume(self._volume(db_cutoff, gamma), int(axis),
+                           float(frac))
+        return encode_png_gray(img)
+
+    def pick(self, body: dict) -> dict:
+        from .viewer_xplane import pick_plane
+        hit = pick_plane(body["offsets"], float(body["yaw"]),
+                         float(body["pitch"]), float(body["x"]),
+                         float(body["y"]), int(body.get("size", 512)))
+        return {"axis": None if hit is None else int(hit[0])}
+
+    def drag(self, body: dict) -> dict:
+        from .viewer_xplane import drag_plane
+        offsets = list(body["offsets"])
+        axis = int(body["axis"])
+        offsets[axis] = drag_plane(offsets, axis, float(body["yaw"]),
+                                   float(body["pitch"]), float(body["dx"]),
+                                   float(body["dy"]),
+                                   int(body.get("size", 512)))
+        return {"offsets": offsets}
+
+    # -- parameter editing (dirty-region writeback, ui.c:5272-5326) ------
+
+    _EDITABLE = ("f_number", "speed_of_sound", "demodulation_frequency",
+                 "sampling_frequency", "time_offset")
+
+    def params_json(self, block: int = 0) -> dict:
+        p = self.beamformer._block(block).parameters
+        return {k: float(getattr(p, k)) for k in self._EDITABLE}
+
+    def apply_params(self, body: dict, block: int = 0) -> dict:
+        """Live parameter edit: update the block and mark it dirty — the
+        next frame re-plans (numeric fields are traced, so no recompile)."""
+        b = self.beamformer._block(block)
+        p = b.parameters
+        for k, val in body.items():
+            if k in self._EDITABLE:
+                setattr(p, k, float(val))
+        self.beamformer.push_parameters(p, block=block)
+        return self.params_json(block)
 
     def apply_live(self, body: dict) -> dict:
         live = self.beamformer.live_parameters
@@ -185,6 +333,29 @@ class LiveView:
                 elif url.path == "/stats.json":
                     self._send(200, "application/json",
                                json.dumps(view.stats_json()).encode())
+                elif url.path == "/xplane":
+                    self._send(200, "text/html", _XPLANE_PAGE.encode())
+                elif url.path == "/xplane.png":
+                    png = view.xplane_png(
+                        offsets=[float(q.get("ox", 0)),
+                                 float(q.get("oy", 0)),
+                                 float(q.get("oz", 0))],
+                        yaw=float(q.get("yaw", 0.6)),
+                        pitch=float(q.get("pitch", 0.45)),
+                        size=int(q.get("size", 512)),
+                        db_cutoff=float(q.get("db", -60)),
+                        gamma=float(q.get("gamma", 1.0)))
+                    self._send(200, "image/png", png)
+                elif url.path == "/slice.png":
+                    png = view.slice_png(
+                        axis=int(q.get("axis", 2)),
+                        frac=float(q.get("frac", 0.5)),
+                        db_cutoff=float(q.get("db", -60)),
+                        gamma=float(q.get("gamma", 1.0)))
+                    self._send(200, "image/png", png)
+                elif url.path == "/params":
+                    self._send(200, "application/json",
+                               json.dumps(view.params_json()).encode())
                 elif url.path == "/live":
                     import dataclasses
                     live = view.beamformer.live_parameters
@@ -198,13 +369,21 @@ class LiveView:
                     self._send(404, "text/plain", b"not found")
 
             def do_POST(self):
-                if urlparse(self.path).path == "/live":
-                    n = int(self.headers.get("Content-Length", 0))
-                    body = json.loads(self.rfile.read(n) or b"{}")
-                    self._send(200, "application/json",
-                               json.dumps(view.apply_live(body)).encode())
+                path = urlparse(self.path).path
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if path == "/live":
+                    out = view.apply_live(body)
+                elif path == "/pick":
+                    out = view.pick(body)
+                elif path == "/drag":
+                    out = view.drag(body)
+                elif path == "/params":
+                    out = view.apply_params(body)
                 else:
                     self._send(404, "text/plain", b"not found")
+                    return
+                self._send(200, "application/json", json.dumps(out).encode())
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]

@@ -362,3 +362,45 @@ def test_beamform_data_int16complex(server, rng):
     ref = golden.das(rf=dec, p=dp)
     ref_flat = np.asarray(ref).transpose(2, 1, 0).ravel()
     assert nrmse(ref_flat, out) < 1e-3
+
+
+def test_server_stop_imaging(server, rng):
+    """StopImaging halts the server's compute loop until active again
+    (reference: live-control plumbing, tests/throughput.c:558-560)."""
+    import time
+    from ogl_beamforming_tpu.params.enums import LiveImagingDirtyFlags
+    lib = server.lib
+    sp = _fill_simple()
+    assert lib.beamformer_push_simple_parameters(ct.byref(sp)) == 1
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+
+    def push():
+        return lib.beamformer_push_data_with_compute(
+            raw.ctypes.data_as(ct.c_void_p), raw.nbytes, 0, 0)
+
+    lib.beamformer_set_global_timeout(15000)
+    assert push() == 1
+    out = np.zeros(12 * 16, np.float32)
+    assert lib.beamformer_get_last_frames(
+        out.ctypes.data_as(ct.c_void_p), out.nbytes, 1) == 1
+    n0 = server.beamformer._frame_id
+
+    # UI side requests stop: active = 0 + StopImaging dirty flag
+    server.set_live(dirty_flags=int(LiveImagingDirtyFlags.StopImaging),
+                    active=0)
+    assert push() == 1            # accepted but dropped
+    for s in server._sessions.values():
+        s.flush()
+    time.sleep(0.2)
+    assert server.beamformer._frame_id == n0
+
+    # restart
+    server.set_live(active=1)
+    assert push() == 1
+    for s in server._sessions.values():
+        s.flush()
+    deadline = time.time() + 10
+    while server.beamformer._frame_id == n0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert server.beamformer._frame_id == n0 + 1
+    lib.beamformer_set_global_timeout(0)

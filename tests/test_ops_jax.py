@@ -209,3 +209,17 @@ def test_das_undispatched_kinds_zero(rng):
     assert np.all(golden.das(rf, p) == 0)
     out = das_from_params(rf, p, voxel_block=32)
     assert np.all(np.asarray(out) == 0)
+
+
+def test_decode_pallas_matches_golden(rng):
+    """Fused int16 split-bf16 Pallas decode vs golden (interpret mode)."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.ops.decode import (decode_hadamard_pallas,
+                                                hadamard_matrix)
+    for c, a, s in [(4, 16, 512), (2, 64, 1024), (2, 32, 300)]:
+        rf = rng.integers(-32768, 32767, (c, a, s)).astype(np.int16)
+        h = hadamard_matrix(a)
+        out = np.asarray(decode_hadamard_pallas(jnp.asarray(rf), h,
+                                                interpret=True))
+        ref = golden.decode_hadamard(rf, np.asarray(h))
+        assert np.abs(out - ref).max() <= 2e-3   # ~1e-7 relative

@@ -339,3 +339,21 @@ def test_executor_complex_wire_kinds(rng, kind, wire_dtype):
         output_points=(12, 16, 1))
     ref = golden.das(dec, dp)
     assert nrmse(ref, frame.to_numpy()) < 1e-3
+
+
+def test_stage_times_calibrated_not_even(rng):
+    """Default (fused) stats attribute frame time by calibrated per-stage
+    fractions: times sum to the frame time and differ per stage
+    (reference exports true per-dispatch times, beamformer_core.c:1602-1628)."""
+    c, a, s = 8, 4, 512
+    bf = Beamformer(voxel_block=128)
+    bf.push_parameters(_make_params(c, a, s))
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    raw = rng.integers(-1024, 1024, (c, a * s)).astype(np.int16)
+    bf.push_data_with_compute(raw)
+    bf.push_data_with_compute(raw)
+    t = bf.stats.table
+    row = (bf.stats._frame_index - 1) % 32
+    times = [t.times[row, i] for i in range(2)]
+    assert all(x > 0 for x in times)
+    assert abs(times[0] - times[1]) > 1e-9   # calibrated, not even-split

@@ -61,3 +61,25 @@ def test_streaming_close_idempotent():
     s = StreamingSession(bf)
     s.close()
     s.close()
+
+
+def test_streaming_stop_imaging(rng):
+    """Live StopImaging control halts the session's compute loop
+    (reference: tests/throughput.c:558-560 + live dirty-flag plumbing)."""
+    from ogl_beamforming_tpu.params.enums import LiveImagingDirtyFlags
+    from ogl_beamforming_tpu.params.types import LiveImagingParameters
+
+    bf = _setup()
+    raw = rng.integers(-512, 512, (8, 4 * 256)).astype(np.int16)
+    with StreamingSession(bf) as stream:
+        h = stream.submit(raw)
+        assert h.result(timeout=30) is not None
+
+        live = LiveImagingParameters(active=0)
+        bf.set_live_parameters(
+            live, dirty_flags=int(LiveImagingDirtyFlags.StopImaging))
+        h2 = stream.submit(raw)
+        assert h2.result(timeout=30) is None      # dropped
+        assert stream.stop_requested
+        h3 = stream.submit(raw)                   # latched: still dropped
+        assert h3.result(timeout=30) is None

@@ -84,3 +84,72 @@ def test_live_controls(view):
     # GET reflects state
     _, _, body = _get(view.url + "live")
     assert json.loads(body)["transmit_power"] == pytest.approx(0.7)
+
+
+def test_xplane_render_pick_drag():
+    """Software X-plane projector + raycast plane grab (ui.c:913-1068)."""
+    from ogl_beamforming_tpu.viewer_xplane import (drag_plane, pick_plane,
+                                                   render_xplane,
+                                                   slice_volume)
+    rng = np.random.default_rng(0)
+    v = rng.random((16, 12, 20)).astype(np.float32)
+    img = render_xplane(v, offsets=[0.0, 0.0, 0.0], yaw=0.6, pitch=0.45,
+                        size=128)
+    assert img.shape == (128, 128)
+    assert img.max() > 0          # planes visible
+
+    s = slice_volume(v, 2, 0.5)
+    assert s.shape == (12, 16)    # transposed (ny, nx)
+
+    # a click at the view center must grab some plane (all pass through 0)
+    hit = pick_plane([0.0, 0.0, 0.0], 0.6, 0.45, 64, 64, size=128)
+    assert hit is not None
+    # a click far outside the volume misses
+    assert pick_plane([0.0, 0.0, 0.0], 0.6, 0.45, 1, 1, size=128) is None
+
+    # dragging moves the grabbed plane monotonically and clamps to [-1, 1]
+    off = 0.0
+    for _ in range(200):
+        off = drag_plane([off, 0, 0], 0, 0.6, 0.45, 30.0, 0.0, size=128)
+    assert -1.0 <= off <= 1.0 and off != 0.0
+
+
+def test_xplane_endpoints(view):
+    base = view.url.rstrip("/")
+    png = urllib.request.urlopen(base + "/xplane.png?size=64").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    png = urllib.request.urlopen(base + "/slice.png?axis=2&frac=0.5").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    page = urllib.request.urlopen(base + "/xplane").read()
+    assert b"x-plane" in page
+
+    req = urllib.request.Request(
+        base + "/pick", method="POST",
+        data=json.dumps({"offsets": [0, 0, 0], "yaw": 0.6, "pitch": 0.45,
+                         "x": 256, "y": 256}).encode())
+    res = json.loads(urllib.request.urlopen(req).read())
+    assert "axis" in res
+
+    req = urllib.request.Request(
+        base + "/drag", method="POST",
+        data=json.dumps({"offsets": [0, 0, 0], "axis": 0, "yaw": 0.6,
+                         "pitch": 0.45, "dx": 20, "dy": 0}).encode())
+    res = json.loads(urllib.request.urlopen(req).read())
+    assert len(res["offsets"]) == 3
+
+
+def test_params_live_edit(view):
+    """Parameter edits write back through the executor with dirty tracking
+    (ui.c:5272-5326)."""
+    base = view.url.rstrip("/")
+    before = json.loads(urllib.request.urlopen(base + "/params").read())
+    assert before["f_number"] == pytest.approx(0.8)
+
+    req = urllib.request.Request(
+        base + "/params", method="POST",
+        data=json.dumps({"f_number": 1.25}).encode())
+    after = json.loads(urllib.request.urlopen(req).read())
+    assert after["f_number"] == pytest.approx(1.25)
+    b = view.beamformer._block(0)
+    assert b.parameters.f_number == pytest.approx(1.25)
+    assert b.dirty                # re-plans on next frame
