@@ -58,9 +58,10 @@ CHUNK = 128
 
 
 def _tile_rows(st) -> int:
-    """Image rows per voxel tile (16: best measured with predicate sharing;
-    32 was better before branches were amortized across the channel block)."""
-    return ABLATE.get("tile_sub", TILE_SUB)
+    """Image rows per voxel tile.  Measured per family on v5e: 16 for
+    RCA/FORCES (with predicate sharing), 32 for HERCULES 3D volumes
+    (PERFORMANCE.md round-2 sweeps)."""
+    return ABLATE.get("tile_sub", 32 if st.family == "hercules" else TILE_SUB)
 
 # Bench-only kernel-structure knobs (experiments/ablate_das.py).  Read at
 # trace time; callers must clear _das_call's lru_cache after changing them.
@@ -361,6 +362,10 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         # units encode (nq, -1) so all chunk groups predicate false.
         qmin = qlo_ref[tile * n_cb + ch]
         qmax = qhi_ref[tile * n_cb + ch]
+    elif st.family == "hercules" and not ABLATE.get("no_bounds"):
+        # per-tile bounds (channel spread < one chunk at matrix apertures)
+        qmin = qlo_ref[tile]
+        qmax = qhi_ref[tile]
     else:
         qmin = qmax = None
 
@@ -482,7 +487,10 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     # gets its own accumulator plane in scratch.
     pairs = [(i, j) for i in range(ch_block) for j in range(tx_block)]
     share = _pred_share(st) if qb_lo is not None else 1
-    group = min(nq, ABLATE.get("group", 1 if qb_lo is not None else 4))
+    # Chunk predication granularity, measured per family: RCA's shared
+    # scalar predicates make per-chunk skipping free; HERCULES/FORCES favor
+    # groups of 4 (linear taps -> less work per chunk, branches matter).
+    group = min(nq, ABLATE.get("group", 1 if st.family == "rca" else 4))
 
     for b0 in range(0, len(pairs), share):
         batch = pairs[b0:b0 + share]
@@ -643,7 +651,7 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     static bound, changing them at runtime can never produce wrong zeros.
     """
     rt, zt = _n_row_tiles(st), _n_z_tiles(st)
-    if st.family == "hercules":        # conservative: no skip yet
+    if ABLATE.get("no_bounds"):       # round-1 behavior (A/B harness)
         return (jnp.ones(rt * zt, jnp.int32),
                 jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
     n_rows, n_lanes = _axes(st)
@@ -677,6 +685,51 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         dmin = jnp.maximum(0.0, jnp.maximum(lo - lat, lat - hi))
         dmax = jnp.maximum(jnp.abs(lat - lo), jnp.abs(lat - hi))
         return dmin, dmax
+
+    if st.family == "hercules":
+        # Per-tile chunk bounds (delay varies < a chunk across channels at
+        # typical matrix-probe apertures, so per-tile granularity is tight).
+        xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
+        yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
+        zw = xdc[2, 0] * x + xdc[2, 1] * y + xdc[2, 2] * z + xdc[2, 3]
+        rx_cols = scalars[_SC_RX_FLAG] > 0.5
+        lat_rx = jnp.where(rx_cols, xw, yw)
+        p_rx = jnp.where(rx_cols, pxp, pyp)
+        lat_tx = jnp.where(rx_cols, yw, xw)
+        p_tx = jnp.where(rx_cols, pyp, pxp)
+        rlo = jnp.minimum(ch0 * p_rx, chn * p_rx)
+        rhi = jnp.maximum(ch0 * p_rx, chn * p_rx)
+        e = t0_arr[:n_grid]
+        elo, ehi = jnp.min(e) * p_tx, jnp.max(e) * p_tx
+        rxmin, rxmax = interval_dist(lat_rx, rlo, rhi)
+        txmin, txmax = interval_dist(lat_tx, jnp.minimum(elo, ehi),
+                                     jnp.maximum(elo, ehi))
+        d2min = rxmin * rxmin + txmin * txmin
+        d2max = rxmax * rxmax + txmax * txmax
+        zw2 = zw * zw
+        cone = jnp.where(fnum > 0,
+                         d2min * (fnum * fnum) < 0.25 * zw2, True)
+        txd = _rca_tx_distance_tile(x, y, z, scalars[_SC_TX_O],
+                                    scalars[_SC_TX_ANGLE],
+                                    scalars[_SC_TX_DEPTH])
+        tx_index0 = (txd / sos + t0) * fs
+        imin = tx_index0 + jnp.sqrt(zw2 + d2min) * (fs / sos)
+        imax = tx_index0 + jnp.sqrt(zw2 + d2max) * (fs / sos)
+        ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
+        kmin = jnp.where(ok, imin, np.inf)
+        kmax = jnp.where(ok, imax, -np.inf)
+        kmin_t = kmin.reshape(rt, ts, zt, TILE_LANE).min(axis=(1, 3))
+        kmax_t = kmax.reshape(rt, ts, zt, TILE_LANE).max(axis=(1, 3))
+        nq = _cdiv(st.sample_count, CHUNK)
+        on = jnp.isfinite(kmax_t)
+        qlo = jnp.where(on, jnp.clip(jnp.floor(
+            (kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(nq)).astype(jnp.int32)
+        qhi = jnp.where(on, jnp.clip(jnp.floor(
+            (kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(-1)).astype(jnp.int32)
+        return (on.reshape(-1).astype(jnp.int32),
+                qlo.reshape(-1), qhi.reshape(-1))
 
     if st.family == "forces":
         lo = jnp.minimum(ch0 * pxp, chn * pxp)
@@ -815,6 +868,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             on = act[i] > 0
             return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
+    n_slots = (_pred_share(st) if st.family in ("rca", "hercules") else 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,    # scalars, geometry tables, tile flags,
                                   # per-(tile, ch-unit) chunk bounds
@@ -827,10 +881,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         ],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((_pred_share(st) if st.family == "rca" else 1,
-                        ts, TILE_LANE), jnp.float32),    # acc re (per slot)
-            pltpu.VMEM((_pred_share(st) if st.family == "rca" else 1,
-                        ts, TILE_LANE), jnp.float32),    # acc im (per slot)
+            pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc re
+            pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc im
             pltpu.VMEM((4, ts, TILE_LANE), jnp.float32),
             pltpu.VMEM((3, ts, TILE_LANE), jnp.float32),
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),

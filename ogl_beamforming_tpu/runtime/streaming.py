@@ -137,6 +137,10 @@ class StreamingSession:
                 # via Frame data access (or stats in profile mode).
                 plan = bf._ensure_plan(b)
                 rf_dev = jax.device_put(rf)
+                # calibrate stage fractions up front so their per-stage
+                # compiles land in the first (compile) frame, not in the
+                # middle of a timed streaming run
+                bf._stage_fractions(plan, rf_dev)
                 out = plan(rf_dev)
                 frame = Frame(data=out if not isinstance(out, tuple) else out,
                               id=bf._frame_id, view_plane=tag)
