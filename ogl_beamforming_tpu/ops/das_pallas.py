@@ -61,11 +61,31 @@ def _tile_rows(st) -> int:
     """Image rows per voxel tile.  Measured per family on v5e: 16 for
     RCA/FORCES (with predicate sharing), 32 for HERCULES 3D volumes
     (PERFORMANCE.md round-2 sweeps)."""
-    return ABLATE.get("tile_sub", 32 if st.family == "hercules" else TILE_SUB)
+    return _knob(st, "tile_sub",
+                 32 if st.family == "hercules" else TILE_SUB)
 
 # Bench-only kernel-structure knobs (experiments/ablate_das.py).  Read at
 # trace time; callers must clear _das_call's lru_cache after changing them.
 ABLATE: dict = {}
+
+# Per-configuration tuned knobs installed by :func:`autotune_das`, consulted
+# between ABLATE (explicit override) and the measured family defaults.
+TUNED: dict = {}
+
+
+def _tune_key(st):
+    return (st.family, int(st.interpolation_mode), st.iq,
+            st.acquisition_count, st.local_channels, st.sample_count,
+            tuple(st.output_points))
+
+
+def _knob(st, name, default):
+    if name in ABLATE:
+        return ABLATE[name]
+    t = TUNED.get(_tune_key(st))
+    if t is not None and name in t:
+        return t[name]
+    return default
 
 _N_SCALARS = 13
 _SC_FS, _SC_SOS, _SC_T0, _SC_FNUM, _SC_PX, _SC_PY, _SC_FDEMOD, \
@@ -490,7 +510,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     # Chunk predication granularity, measured per family: RCA's shared
     # scalar predicates make per-chunk skipping free; HERCULES/FORCES favor
     # groups of 4 (linear taps -> less work per chunk, branches matter).
-    group = min(nq, ABLATE.get("group", 1 if st.family == "rca" else 4))
+    group = min(nq, _knob(st, "group", 1 if st.family == "rca" else 4))
 
     for b0 in range(0, len(pairs), share):
         batch = pairs[b0:b0 + share]
@@ -621,7 +641,7 @@ def _pred_share(st) -> int:
     """Channels sharing one chunk-group predicate region (RCA only).
     Default: the whole channel block (measured best with per-chunk groups:
     one scalar branch serves all 8 channels' gathers)."""
-    return max(1, int(ABLATE.get("pred_share", 8)))
+    return max(1, int(_knob(st, "pred_share", 8)))
 
 
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
@@ -826,7 +846,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     a_pad = n_blocks * tx_block
 
     # RCA: several channels per grid step (caches are channel-independent).
-    ch_block = min(ABLATE.get("ch_block", 8),
+    ch_block = min(_knob(st, "ch_block", 8),
                    st.local_channels) if st.family == "rca" else 1
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
@@ -1028,3 +1048,86 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
 # Backwards-compatible alias
 def das_forces_pallas(rf, dyn, st, interpret: bool = False):
     return das_pallas(rf, dyn, st, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Per-configuration autotune
+# ---------------------------------------------------------------------------
+
+def _default_candidates(st: DasStatic):
+    if st.family == "rca":
+        return [{}, {"group": 2}, {"ch_block": 4}, {"pred_share": 4},
+                {"tile_sub": 32}]
+    if st.family == "hercules":
+        return [{}, {"group": 2}, {"group": 8}, {"tile_sub": 16}]
+    return [{}, {"group": 2}, {"group": 8}, {"tile_sub": 32}]
+
+
+def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
+                 iters: int = 4, warmup: int = 1, save_path=None):
+    """Measure knob combinations for this configuration on the current
+    device and install the fastest in :data:`TUNED` (used by every later
+    trace of the same descriptor).  The reference tunes its dispatch
+    layouts per-GPU at build time (build.c); here the knob space is the
+    Mosaic kernel structure, so tuning is a runtime measurement.
+
+    Returns ``(best_knobs, {repr(knobs): seconds})``.  Clears the DAS jit
+    caches while running — intended as an explicit setup step, not a
+    hot-path call.  ``save_path`` persists the whole TUNED table as JSON
+    (reload with :func:`load_tuned`).
+    """
+    import time as _time
+
+    from ..utils.transfer import sync
+    from .das import das_jit
+
+    if candidates is None:
+        candidates = _default_candidates(st)
+    key = _tune_key(st)
+    results = {}
+    best = None
+    best_t = np.inf
+    for knobs in candidates:
+        TUNED[key] = dict(knobs)
+        _das_call.cache_clear()
+        das_jit.clear_cache()
+        try:
+            for _ in range(warmup):
+                sync(das_jit(rf, dyn, st))
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                out = das_jit(rf, dyn, st)
+            sync(out)
+            dt = (_time.perf_counter() - t0) / iters
+        except Exception:          # a candidate may not compile
+            TUNED.pop(key, None)
+            results[repr(knobs)] = None
+            continue
+        results[repr(knobs)] = dt
+        if dt < best_t:
+            best_t, best = dt, dict(knobs)
+    TUNED[key] = best or {}
+    _das_call.cache_clear()
+    das_jit.clear_cache()
+    if save_path is not None:
+        save_tuned(save_path)
+    return best or {}, results
+
+
+def save_tuned(path):
+    """Persist :data:`TUNED` as JSON (descriptor keys stringified)."""
+    import json
+    with open(path, "w") as f:
+        json.dump([{"key": list(k), "knobs": v} for k, v in TUNED.items()],
+                  f, indent=1)
+
+
+def load_tuned(path):
+    """Load a :func:`save_tuned` table; later plans pick the entries up."""
+    import json
+    with open(path) as f:
+        for row in json.load(f):
+            k = row["key"]
+            TUNED[(k[0], k[1], k[2], k[3], k[4], k[5], tuple(k[6]))] = \
+                row["knobs"]
+    _das_call.cache_clear()

@@ -133,3 +133,45 @@ def test_coherency(rng, iq):
     (ref_c, ref_i), (out_c, out_i) = _run(rng, p, iq)
     assert nrmse(ref_c, np.asarray(out_c)) < TOL
     assert nrmse(ref_i, np.asarray(out_i)) < TOL
+
+
+def test_autotune_api(rng, tmp_path):
+    """autotune_das measures candidates, installs TUNED knobs (numerics
+    invariant across candidates), and persists/reloads the table."""
+    import dataclasses
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+    from ogl_beamforming_tpu.ops.das import das_jit
+
+    p = _params(8, 2, 256, (12, 16, 1), AcquisitionKind.Flash,
+                transmit_receive_orientation=pack_tx_rx_orientation(
+                    RCAOrientation.Columns, RCAOrientation.Columns),
+                single_orientation=True, single_focus=True,
+                focus_depth=np.inf)
+    st = dataclasses.replace(make_static(p, iq=False),
+                             backend="pallas_interpret")
+    dyn = make_dynamic(p)
+    rf = rng.standard_normal(
+        (p.channel_count, p.acquisition_count, p.sample_count)
+    ).astype(np.float32)
+    base = np.asarray(das_jit(rf, dyn, st))
+
+    best, results = dp_mod.autotune_das(
+        rf, dyn, st, candidates=[{}, {"group": 4}, {"ch_block": 2}],
+        iters=1, warmup=0)
+    assert isinstance(best, dict)
+    assert sum(1 for v in results.values() if v is not None) >= 2
+    key = dp_mod._tune_key(st)
+    assert key in dp_mod.TUNED
+
+    out = np.asarray(das_jit(rf, dyn, st))
+    np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-6)
+
+    path = tmp_path / "tuned.json"
+    dp_mod.save_tuned(path)
+    dp_mod.TUNED.clear()
+    dp_mod.load_tuned(path)
+    assert key in dp_mod.TUNED
+    dp_mod.TUNED.clear()
+    dp_mod._das_call.cache_clear()
+    das_jit.clear_cache()
