@@ -60,7 +60,7 @@ _PAGE = """<!doctype html>
  label { display:block; margin-top:.5em; }
  table { border-collapse:collapse; } td { padding:2px 8px; }
 </style></head><body>
-<h3>ogl_beamforming_tpu &mdash; live view (<a href="/xplane" style="color:#6af">3D x-plane</a>)</h3>
+<h3>ogl_beamforming_tpu &mdash; live view (<a href="/xplane" style="color:#6af">3D x-plane</a> | <a href="/panels" style="color:#6af">panels</a>)</h3>
 <div class="row">
  <div>
   <img id="frame" width="512"/>
@@ -192,6 +192,182 @@ async function setParam(k, v) {
 }
 db.oninput = refresh3d; gamma.oninput = refresh3d;
 setInterval(refresh3d, 1000); refresh3d(); loadParams();
+</script></body></html>
+"""
+
+
+_PANELS_PAGE = """<!doctype html>
+<html><head><title>ogl_beamforming_tpu panels</title>
+<style>
+ body { background:#111; color:#ddd; font-family:monospace; margin:0;
+        height:100vh; display:flex; flex-direction:column; }
+ #root { flex:1; display:flex; min-height:0; }
+ .split-h { display:flex; flex-direction:row; flex:1; min-width:0; min-height:0; }
+ .split-v { display:flex; flex-direction:column; flex:1; min-width:0; min-height:0; }
+ .divider-h { width:5px; cursor:col-resize; background:#333; }
+ .divider-v { height:5px; cursor:row-resize; background:#333; }
+ .leaf { display:flex; flex-direction:column; border:1px solid #333;
+         min-width:0; min-height:0; overflow:hidden; }
+ .tabbar { background:#1a1a1a; display:flex; gap:2px; padding:2px;
+           align-items:center; flex-wrap:wrap; }
+ .tab { padding:2px 8px; background:#222; cursor:pointer; }
+ .tab.active { background:#2a6; color:#000; }
+ .tab .x { margin-left:6px; color:#a33; }
+ .body { flex:1; overflow:auto; padding:4px; min-height:0; }
+ img { image-rendering:pixelated; max-width:100%; }
+ select, button { background:#222; color:#ddd; border:1px solid #555; }
+ table { border-collapse:collapse; } td { padding:1px 6px; }
+ .bar { background:#2a6; height:10px; }
+ label { display:block; }
+ input[type=number] { width:7em; background:#222; color:#ddd;
+   border:1px solid #555; }
+</style></head><body>
+<div id="root"></div>
+<script>
+// Panel tree: split/tab docking — the browser port of the reference UI's
+// panel system (ui.c Split/TabGroup panels, beamformer_core.c:1880-2056).
+const PANELS = {
+  frame:  {title: 'Frame View'},
+  stats:  {title: 'Compute Stats'},
+  live:   {title: 'Live Controls'},
+  params: {title: 'Parameters'},
+  xplane: {title: 'X-Plane'},
+};
+let tree = {type:'split', dir:'h', frac:0.55,
+  a:{type:'leaf', tabs:['frame'], active:0},
+  b:{type:'split', dir:'v', frac:0.5,
+     a:{type:'leaf', tabs:['stats','live'], active:0},
+     b:{type:'leaf', tabs:['params','xplane'], active:0}}};
+
+function leafOf(node, target, parent, key) {
+  if (node === target) return [parent, key];
+  if (node.type === 'split') {
+    return leafOf(node.a, target, node, 'a') ||
+           leafOf(node.b, target, node, 'b');
+  }
+  return null;
+}
+function splitLeaf(leaf, dir) {
+  const loc = leafOf(tree, leaf, null, null);
+  const fresh = {type:'leaf', tabs:['stats'], active:0};
+  const split = {type:'split', dir, frac:0.5, a:{...leaf}, b:fresh};
+  if (!loc || !loc[0]) tree = split; else loc[0][loc[1]] = split;
+  render();
+}
+function closeTab(leaf, i) {
+  leaf.tabs.splice(i, 1);
+  leaf.active = Math.max(0, leaf.active - 1);
+  if (!leaf.tabs.length) {
+    const loc = leafOf(tree, leaf, null, null);
+    if (loc && loc[0]) {
+      const parent = loc[0];
+      const keep = loc[1] === 'a' ? parent.b : parent.a;
+      const ploc = leafOf(tree, parent, null, null);
+      if (!ploc || !ploc[0]) tree = keep; else ploc[0][ploc[1]] = keep;
+    } else leaf.tabs = ['stats'];
+  }
+  render();
+}
+function build(node, el) {
+  if (node.type === 'split') {
+    el.className = node.dir === 'h' ? 'split-h' : 'split-v';
+    const a = document.createElement('div');
+    const d = document.createElement('div');
+    const b = document.createElement('div');
+    d.className = node.dir === 'h' ? 'divider-h' : 'divider-v';
+    a.style.flex = node.frac; b.style.flex = 1 - node.frac;
+    d.onmousedown = (e) => {
+      const r = el.getBoundingClientRect();
+      const move = (ev) => {
+        node.frac = Math.min(0.9, Math.max(0.1,
+          node.dir === 'h' ? (ev.clientX - r.left) / r.width
+                           : (ev.clientY - r.top) / r.height));
+        a.style.flex = node.frac; b.style.flex = 1 - node.frac;
+      };
+      const up = () => { window.removeEventListener('mousemove', move);
+                         window.removeEventListener('mouseup', up); };
+      window.addEventListener('mousemove', move);
+      window.addEventListener('mouseup', up);
+      e.preventDefault();
+    };
+    build(node.a, a); build(node.b, b);
+    el.append(a, d, b);
+  } else {
+    el.className = 'leaf';
+    const bar = document.createElement('div');
+    bar.className = 'tabbar';
+    node.tabs.forEach((t, i) => {
+      const tab = document.createElement('span');
+      tab.className = 'tab' + (i === node.active ? ' active' : '');
+      tab.textContent = PANELS[t].title;
+      tab.onclick = () => { node.active = i; render(); };
+      const x = document.createElement('span');
+      x.className = 'x'; x.textContent = 'x';
+      x.onclick = (e) => { e.stopPropagation(); closeTab(node, i); };
+      tab.append(x); bar.append(tab);
+    });
+    const add = document.createElement('select');
+    add.innerHTML = '<option>+</option>' + Object.entries(PANELS).map(
+      ([k, v]) => `<option value="${k}">${v.title}</option>`).join('');
+    add.onchange = () => { if (add.value !== '+') {
+      node.tabs.push(add.value); node.active = node.tabs.length - 1;
+      render(); } };
+    const sh = document.createElement('button');
+    sh.textContent = '|'; sh.title = 'split horizontally';
+    sh.onclick = () => splitLeaf(node, 'h');
+    const sv = document.createElement('button');
+    sv.textContent = '—'; sv.title = 'split vertically';
+    sv.onclick = () => splitLeaf(node, 'v');
+    bar.append(add, sh, sv);
+    const body = document.createElement('div');
+    body.className = 'body';
+    body.dataset.panel = node.tabs[node.active];
+    el.append(bar, body);
+  }
+}
+function render() {
+  const root = document.getElementById('root');
+  root.innerHTML = '';
+  const el = document.createElement('div');
+  el.style.cssText = 'flex:1;display:flex;min-height:0';
+  build(tree, el);
+  root.append(el);
+  refreshAll();
+}
+async function refreshAll() {
+  for (const body of document.querySelectorAll('.body')) {
+    const kind = body.dataset.panel;
+    if (kind === 'frame') {
+      body.innerHTML = `<img src="/frame.png?t=${Date.now()}"/>`;
+    } else if (kind === 'xplane') {
+      body.innerHTML =
+        `<img src="/xplane.png?size=256&t=${Date.now()}"/>` +
+        `<div><a href="/xplane" style="color:#6af">open interactive</a></div>`;
+    } else if (kind === 'stats') {
+      const st = await (await fetch('/stats.json')).json();
+      body.innerHTML = '<table>' + st.stages.map(s =>
+        `<tr><td>${s.name}</td><td>${s.avg_ms.toFixed(2)} ms</td>` +
+        `<td><div class="bar" style="width:${Math.min(150, s.avg_ms*15)}px">` +
+        `</div></td></tr>`).join('') +
+        `<tr><td>frame</td><td>${st.frame_ms.toFixed(2)} ms</td></tr></table>`;
+    } else if (kind === 'live') {
+      body.innerHTML =
+        `<label>transmit power <input type="range" min="0" max="100"
+          onchange="fetch('/live',{method:'POST',body:JSON.stringify(
+            {transmit_power:this.value/100})})"/></label>
+         <button onclick="fetch('/live',{method:'POST',
+           body:JSON.stringify({stop:true})})">stop imaging</button>`;
+    } else if (kind === 'params') {
+      const p = await (await fetch('/params')).json();
+      body.innerHTML = Object.entries(p).map(([k, v]) =>
+        `<label>${k} <input type="number" step="any" value="${v}"
+          onchange="fetch('/params',{method:'POST',body:JSON.stringify(
+            {'${k}':parseFloat(this.value)})})"/></label>`).join('');
+    }
+  }
+}
+render();
+setInterval(refreshAll, 1500);
 </script></body></html>
 """
 
@@ -335,6 +511,8 @@ class LiveView:
                                json.dumps(view.stats_json()).encode())
                 elif url.path == "/xplane":
                     self._send(200, "text/html", _XPLANE_PAGE.encode())
+                elif url.path == "/panels":
+                    self._send(200, "text/html", _PANELS_PAGE.encode())
                 elif url.path == "/xplane.png":
                     png = view.xplane_png(
                         offsets=[float(q.get("ox", 0)),

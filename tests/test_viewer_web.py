@@ -153,3 +153,13 @@ def test_params_live_edit(view):
     b = view.beamformer._block(0)
     assert b.parameters.f_number == pytest.approx(1.25)
     assert b.dirty                # re-plans on next frame
+
+
+def test_panels_page(view):
+    """Dockable split/tab panel tree (the reference UI's panel system,
+    ui.c Split/TabGroup, beamformer_core.c:1880-2056)."""
+    base = view.url.rstrip("/")
+    page = urllib.request.urlopen(base + "/panels").read().decode()
+    for marker in ("splitLeaf", "closeTab", "tabbar", "divider",
+                   "Compute Stats", "X-Plane", "Parameters"):
+        assert marker in page
