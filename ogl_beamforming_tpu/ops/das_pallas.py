@@ -55,6 +55,7 @@ from .das import DasStatic, make_dynamic, make_static  # noqa: F401
 TILE_SUB = 16    # image rows per voxel tile (A/B'd 8 vs 16: 16 is ~30% faster)
 TILE_LANE = 128  # axial voxels per tile (= lane count)
 CHUNK = 128
+_FORCES_UNIT = 8  # channels per chunk-bound table unit (forces family)
 
 
 def _tile_rows(st) -> int:
@@ -386,6 +387,10 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         # per-tile bounds (channel spread < one chunk at matrix apertures)
         qmin = qlo_ref[tile]
         qmax = qhi_ref[tile]
+    elif st.family == "forces" and not ABLATE.get("no_bounds"):
+        # per-(tile, 8-channel-unit) bounds; grid channel dim is unblocked
+        qmin = qlo_ref[tile * n_cb + ch // _FORCES_UNIT]
+        qmax = qhi_ref[tile * n_cb + ch // _FORCES_UNIT]
     else:
         qmin = qmax = None
 
@@ -426,7 +431,10 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
     rx_cache = None
     tx_cached = False
     if st.family == "forces":
-        @pl.when(blk == 0)
+        fill = (blk == 0) if qb_lo is None else \
+            ((blk == 0) & (qb_lo <= qb_hi))
+
+        @pl.when(fill)
         def _():
             rx_index, apod_base, mask = _forces_rx_terms(
                 st, scalars_ref, ch, world)
@@ -752,9 +760,14 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
                 qlo.reshape(-1), qhi.reshape(-1))
 
     if st.family == "forces":
-        lo = jnp.minimum(ch0 * pxp, chn * pxp)
-        hi = jnp.maximum(ch0 * pxp, chn * pxp)
-        dmin, dmax = interval_dist(x, lo, hi)
+        # Per-(tile, 8-channel-unit) bounds: rx distance over the unit's
+        # channel interval, tx over the full element range (all acqs).
+        cuf = jnp.arange(n_cb, dtype=jnp.float32)[:, None, None]
+        c0 = ch0 + cuf * np.float32(ch_block)
+        c1 = jnp.minimum(c0 + np.float32(ch_block - 1), chn)
+        lo = jnp.minimum(c0 * pxp, c1 * pxp)
+        hi = jnp.maximum(c0 * pxp, c1 * pxp)
+        dmin, dmax = interval_dist(x, lo, hi)       # (n_cb, rows, lanes)
         cone = jnp.abs(fnum * dmin / z) < 0.5
         z2 = z * z
         rx_min = (jnp.sqrt(dmin * dmin + z2) / sos + t0) * fs
@@ -767,8 +780,27 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         base2 = ty * ty + z2
         tx_min = jnp.sqrt(base2 + tdmin * tdmin) * (fs / sos)
         tx_max = jnp.sqrt(base2 + tdmax * tdmax) * (fs / sos)
-        vox = (cone & in_range & (rx_max + tx_max >= s_lo)
-               & (rx_min + tx_min <= s_hi))
+        imin = rx_min + tx_min
+        imax = rx_max + tx_max
+        ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
+        kmin = jnp.where(ok, imin, np.inf)
+        kmax = jnp.where(ok, imax, -np.inf)
+        kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
+        kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
+        nq = _cdiv(st.sample_count, CHUNK)
+        unit_on = jnp.isfinite(kmax_t)
+        qlo = jnp.where(
+            unit_on,
+            jnp.clip(jnp.floor((kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(nq)).astype(jnp.int32)
+        qhi = jnp.where(
+            unit_on,
+            jnp.clip(jnp.floor((kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(-1)).astype(jnp.int32)
+        act = unit_on.any(axis=0)
+        return (act.reshape(-1).astype(jnp.int32),
+                qlo.transpose(1, 2, 0).reshape(-1),
+                qhi.transpose(1, 2, 0).reshape(-1))
     else:   # rca — also computes per-(tile, channel-unit) chunk bounds
         xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
         yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
@@ -819,10 +851,6 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
                 qlo.transpose(1, 2, 0).reshape(-1),
                 qhi.transpose(1, 2, 0).reshape(-1))
 
-    act = vox.reshape(rt, ts, zt, TILE_LANE).any(axis=(1, 3))
-    return (act.reshape(-1).astype(jnp.int32),
-            jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
-
 
 @functools.lru_cache(maxsize=64)
 def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
@@ -850,13 +878,21 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                    st.local_channels) if st.family == "rca" else 1
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
+    # Chunk-bound table geometry: rca units == grid channel blocks; forces
+    # uses fixed 8-channel units under an unblocked channel grid dim.
+    if st.family == "forces":
+        bounds_cb = _FORCES_UNIT
+        n_cb_bounds = _cdiv(st.local_channels, _FORCES_UNIT)
+    else:
+        bounds_cb = ch_block
+        n_cb_bounds = n_ch_grid
 
     # NOTE: last two block dims must equal the array dims (or be (8,128)
     # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
     rf_block = ((ch_block, tx_block, 2, s_pad) if st.iq
                 else (ch_block, tx_block, 1, s_pad))
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
-                               n_ch_grid)
+                               n_cb_bounds)
 
     ts = _tile_rows(st)
     out_shapes = [jax.ShapeDtypeStruct((rt * ts, zt * TILE_LANE),
@@ -888,7 +924,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             on = act[i] > 0
             return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
-    n_slots = (_pred_share(st) if st.family in ("rca", "hercules") else 1)
+    n_slots = _pred_share(st)   # shared-predicate batches need a slot each
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,    # scalars, geometry tables, tile flags,
                                   # per-(tile, ch-unit) chunk bounds
@@ -943,8 +979,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             rf_planes = jnp.pad(
                 rf_planes, ((0, pad_c), (0, pad_a), (0, 0), (0, s_pad - s)))
         act, qlo, qhi = _tile_activity(st, scalars, t0_arr, t1_arr, vt,
-                                       xdc, n_acq_grid, n_cb=n_ch_grid,
-                                       ch_block=ch_block)
+                                       xdc, n_acq_grid, n_cb=n_cb_bounds,
+                                       ch_block=bounds_cb)
         out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
                                     vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
