@@ -55,7 +55,6 @@ from .das import DasStatic, make_dynamic, make_static  # noqa: F401
 TILE_SUB = 16    # image rows per voxel tile (A/B'd 8 vs 16: 16 is ~30% faster)
 TILE_LANE = 128  # axial voxels per tile (= lane count)
 CHUNK = 128
-_FORCES_UNIT = 8  # channels per chunk-bound table unit (forces family)
 
 
 def _tile_rows(st) -> int:
@@ -217,22 +216,29 @@ def _forces_rx_terms(st, sc, ch, world):
     return rx_index, apod_base, mask
 
 
+def _forces_tx_index(st, sc, t0_ref, acq, world):
+    """Per-(tile, acquisition) transmit term of FORCES — channel-free, so
+    the kernel caches it in scratch at ch == 0 (like the RCA tx planes)."""
+    x, y, z, _ = world
+    fs, sos, py = sc[_SC_FS], sc[_SC_SOS], sc[_SC_PY]
+    ty = y - py * np.float32(st.channel_count / 2.0)
+    tx_dx = x - t0_ref[acq]                          # element x position
+    return jnp.sqrt(ty * ty + z * z + tx_dx * tx_dx) * (fs / sos)
+
+
 def _forces_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
                   rx_cache=None, tx_cache=None):
     """FORCES/UFORCES/READI (das.glsl:286-366): separable rx/tx distances;
     voxel transform already XDC-premultiplied (beamformer_core.c:760)."""
-    x, y, z, in_range = world
-    fs, sos = sc[_SC_FS], sc[_SC_SOS]
-    py = sc[_SC_PY]
-    z2 = z * z
-    ty = y - py * np.float32(st.channel_count / 2.0)
     if rx_cache is None:
         rx_index, apod_base, mask = _forces_rx_terms(st, sc, ch, world)
     else:
         rx_index, apod_base, mask = rx_cache
     apod = apod_base * t1_ref[acq]                   # READI weight or 1
-    tx_dx = x - t0_ref[acq]                          # element x position
-    tx_index = jnp.sqrt(ty * ty + z2 + tx_dx * tx_dx) * (fs / sos)
+    if tx_cache is None:
+        tx_index = _forces_tx_index(st, sc, t0_ref, acq, world)
+    else:
+        tx_index = tx_cache
     return rx_index + tx_index, apod, mask
 
 
@@ -357,7 +363,7 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
     indices (dynamic-offset VMEM access is the costliest Mosaic pattern we
     measured)."""
     tile = pl.program_id(0)
-    if st.family == "rca":
+    if st.family in ("rca", "forces"):
         blk = pl.program_id(1)
         ch = pl.program_id(2)
     else:
@@ -377,7 +383,7 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         if st.coherency_weighting:
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
-    if st.family == "rca":
+    if st.family in ("rca", "forces") and not ABLATE.get("no_bounds"):
         # Prefetched conservative chunk bounds for this (tile, ch-unit):
         # pure scalar reads, no vector->scalar reduction stall.  Inactive
         # units encode (nq, -1) so all chunk groups predicate false.
@@ -387,10 +393,6 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         # per-tile bounds (channel spread < one chunk at matrix apertures)
         qmin = qlo_ref[tile]
         qmax = qhi_ref[tile]
-    elif st.family == "forces" and not ABLATE.get("no_bounds"):
-        # per-(tile, 8-channel-unit) bounds; grid channel dim is unblocked
-        qmin = qlo_ref[tile * n_cb + ch // _FORCES_UNIT]
-        qmax = qhi_ref[tile * n_cb + ch // _FORCES_UNIT]
     else:
         qmin = qmax = None
 
@@ -431,17 +433,15 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
     rx_cache = None
     tx_cached = False
     if st.family == "forces":
-        fill = (blk == 0) if qb_lo is None else \
-            ((blk == 0) & (qb_lo <= qb_hi))
-
-        @pl.when(fill)
+        # Channels innermost (like rca): cache this block's channel-free
+        # transmit planes once; rx terms are computed per channel inside
+        # the unit (lazily per distinct channel of each predicate batch).
+        @pl.when(ch == 0)
         def _():
-            rx_index, apod_base, mask = _forces_rx_terms(
-                st, scalars_ref, ch, world)
-            rx_ref[0] = rx_index
-            rx_ref[1] = apod_base
-            rx_ref[2] = mask.astype(jnp.float32)
-        rx_cache = (rx_ref[0], rx_ref[1], rx_ref[2] > 0.5)
+            for j in range(tx_block):
+                txc_ref[j] = _forces_tx_index(
+                    st, scalars_ref, t0_ref, blk * tx_block + j, world)
+        tx_cached = True
     elif st.family == "hercules":
         # tile-level terms at tile start, rx term per channel
         @pl.when(first)
@@ -525,12 +525,20 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         preps = []
         any_active = None
         qmin = qmax = None
+        rx_by_i = {}          # forces: rx terms shared by a channel's pairs
         for slot, (i, j) in enumerate(batch):
             chv = ch * ch_block + i if ch_block > 1 else ch
             acq = blk * tx_block + j
+            if st.family == "forces" and tx_cached:
+                if i not in rx_by_i:
+                    rx_by_i[i] = _forces_rx_terms(st, scalars_ref, chv,
+                                                  world)
+                rx_c = rx_by_i[i]
+            else:
+                rx_c = rx_cache
             index, apod, mask = _DELAY[st.family](
                 st, scalars_ref, t0_ref, t1_ref, xdc_ref, chv, acq, world,
-                rx_cache=rx_cache,
+                rx_cache=rx_c,
                 tx_cache=txc_ref[j] if tx_cached else None)
 
             if st.interpolation_mode == InterpolationMode.Nearest:
@@ -873,19 +881,14 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     n_blocks = _cdiv(n_acq_grid, tx_block)
     a_pad = n_blocks * tx_block
 
-    # RCA: several channels per grid step (caches are channel-independent).
-    ch_block = min(_knob(st, "ch_block", 8),
-                   st.local_channels) if st.family == "rca" else 1
+    # RCA/FORCES: several channels per grid step (their cached terms are
+    # channel-independent); the bound-table units coincide with the blocks.
+    ch_block = min(_knob(st, "ch_block", 8), st.local_channels) \
+        if st.family in ("rca", "forces") else 1
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
-    # Chunk-bound table geometry: rca units == grid channel blocks; forces
-    # uses fixed 8-channel units under an unblocked channel grid dim.
-    if st.family == "forces":
-        bounds_cb = _FORCES_UNIT
-        n_cb_bounds = _cdiv(st.local_channels, _FORCES_UNIT)
-    else:
-        bounds_cb = ch_block
-        n_cb_bounds = n_ch_grid
+    bounds_cb = ch_block
+    n_cb_bounds = n_ch_grid
 
     # NOTE: last two block dims must equal the array dims (or be (8,128)
     # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
@@ -903,7 +906,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # Inactive tiles never read RF: collapse their block index to the
     # previous fetch target so the pipeline skips the HBM->VMEM copy
     # (consecutive identical block indices are not re-fetched).
-    if st.family == "rca":
+    if st.family in ("rca", "forces"):
         # Channels innermost so per-(tile, block) transmit planes cached at
         # ch == 0 stay valid for the whole channel sweep.
         grid = (n_tiles, n_blocks, n_ch_grid)
