@@ -98,12 +98,16 @@ def _cdiv(a, b):
 
 
 def _axes(st: DasStatic):
-    """(row_count, lane_count): lanes run along the deepest non-unit voxel
-    axis (z for 3D volumes, y for the 2D xz-plane convention where
-    das_transform_2d puts axial on axis 1), rows over the rest."""
+    """(row_count, lane_count) of the kernel voxel layout.
+
+    2D (nz == 1): lanes = y (axial, das_transform_2d convention).
+    3D: lanes = **y (lateral)**, rows = (x, z) pairs.  An axial lane axis
+    pays the delay *slope* (~10+ samples/voxel -> ~10 RF chunks scanned per
+    tile); a lateral lane axis only pays aperture curvature (<= 1-2 chunks
+    at typical f-numbers), measured ~2x on HERCULES volumes."""
     nx, ny, nz = st.output_points
     if nz > 1:
-        return nx * ny, nz
+        return nx * nz, ny
     return nx, ny
 
 
@@ -131,9 +135,9 @@ def _tile_world_points(st: DasStatic, tile_idx, vt, x_off=None):
     lane = (z_tile * TILE_LANE
             + jax.lax.broadcasted_iota(jnp.int32, (ts, TILE_LANE), 1))
     if nz > 1:
-        iz = lane
-        iy = row % ny
-        ix = row // ny
+        iy = lane
+        iz = row % nz
+        ix = row // nz
     else:
         iz = jnp.zeros_like(lane)
         iy = lane
@@ -263,14 +267,21 @@ def _hercules_rx_d2(st, sc, ch, xw, yw):
                      (yw - chf * sc[_SC_PY]) ** 2)
 
 
+def _hercules_tx_d2(sc, t0_ref, acq, xw, yw):
+    """Per-(tile, acquisition) transmit distance^2 — channel-free, cached
+    in scratch at ch == 0 like the other families' transmit planes."""
+    tx_chf = t0_ref[acq]
+    return jnp.where(sc[_SC_RX_FLAG] > 0.5,
+                     (yw - tx_chf * sc[_SC_PY]) ** 2,
+                     (xw - tx_chf * sc[_SC_PX]) ** 2)
+
+
 def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
                     rx_cache=None, tx_cache=None):
     """HERCULES family (das.glsl:231-284): 2D apodization over the rx/tx
     element grid, shared acquisition-0 transmit."""
     _, _, _, in_range = world
     fs, sos = sc[_SC_FS], sc[_SC_SOS]
-    px, py = sc[_SC_PX], sc[_SC_PY]
-    rx_cols = sc[_SC_RX_FLAG]
     if rx_cache is None:
         xw, yw, zw, tx_index0, fnum_over_z = _hercules_tile_terms(
             st, sc, xdc_ref, world)
@@ -279,9 +290,10 @@ def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
         xw, yw, zw, tx_index0, fnum_over_z, rx_d2 = rx_cache
     z2 = zw * zw
     apod_test = 0.25 / (fnum_over_z * fnum_over_z)
-    tx_chf = t0_ref[acq]
-    tx_d2 = jnp.where(rx_cols > 0.5, (yw - tx_chf * py) ** 2,
-                      (xw - tx_chf * px) ** 2)
+    if tx_cache is None:
+        tx_d2 = _hercules_tx_d2(sc, t0_ref, acq, xw, yw)
+    else:
+        tx_d2 = tx_cache
     d2 = rx_d2 + tx_d2
     mask = (d2 < apod_test) & in_range
     apod = _apodize(mask, fnum_over_z * jnp.sqrt(d2)) * t1_ref[acq]
@@ -363,12 +375,8 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
     indices (dynamic-offset VMEM access is the costliest Mosaic pattern we
     measured)."""
     tile = pl.program_id(0)
-    if st.family in ("rca", "forces"):
-        blk = pl.program_id(1)
-        ch = pl.program_id(2)
-    else:
-        ch = pl.program_id(1)
-        blk = pl.program_id(2)
+    blk = pl.program_id(1)
+    ch = pl.program_id(2)
     s = st.sample_count
     nq = _cdiv(s, CHUNK)
     iq = st.iq
@@ -383,16 +391,12 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         if st.coherency_weighting:
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
-    if st.family in ("rca", "forces") and not ABLATE.get("no_bounds"):
+    if not ABLATE.get("no_bounds"):
         # Prefetched conservative chunk bounds for this (tile, ch-unit):
         # pure scalar reads, no vector->scalar reduction stall.  Inactive
         # units encode (nq, -1) so all chunk groups predicate false.
         qmin = qlo_ref[tile * n_cb + ch]
         qmax = qhi_ref[tile * n_cb + ch]
-    elif st.family == "hercules" and not ABLATE.get("no_bounds"):
-        # per-tile bounds (channel spread < one chunk at matrix apertures)
-        qmin = qlo_ref[tile]
-        qmax = qhi_ref[tile]
     else:
         qmin = qmax = None
 
@@ -443,7 +447,7 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
                     st, scalars_ref, t0_ref, blk * tx_block + j, world)
         tx_cached = True
     elif st.family == "hercules":
-        # tile-level terms at tile start, rx term per channel
+        # tile-level terms at tile start; channel-free tx planes per block
         @pl.when(first)
         def _():
             xw, yw, zw, tx_index0, fnum_over_z = _hercules_tile_terms(
@@ -454,12 +458,15 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
             herc_ref[3] = tx_index0
             herc_ref[4] = fnum_over_z
 
-        @pl.when(blk == 0)
+        @pl.when(ch == 0)
         def _():
-            rx_ref[0] = _hercules_rx_d2(st, scalars_ref, ch,
-                                        herc_ref[0], herc_ref[1])
+            for j in range(tx_block):
+                txc_ref[j] = _hercules_tx_d2(
+                    scalars_ref, t0_ref, blk * tx_block + j,
+                    herc_ref[0], herc_ref[1])
         rx_cache = (herc_ref[0], herc_ref[1], herc_ref[2], herc_ref[3],
-                    herc_ref[4], rx_ref[0])
+                    herc_ref[4])
+        tx_cached = True
     else:  # rca: XDC coords are pure tile terms; tx distance per (tile, acq)
         @pl.when(first)
         def _():
@@ -534,6 +541,11 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                     rx_by_i[i] = _forces_rx_terms(st, scalars_ref, chv,
                                                   world)
                 rx_c = rx_by_i[i]
+            elif st.family == "hercules" and tx_cached:
+                if i not in rx_by_i:
+                    rx_by_i[i] = _hercules_rx_d2(
+                        st, scalars_ref, chv, rx_cache[0], rx_cache[1])
+                rx_c = rx_cache + (rx_by_i[i],)
             else:
                 rx_c = rx_cache
             index, apod, mask = _DELAY[st.family](
@@ -697,7 +709,7 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     row = jnp.arange(rt * ts, dtype=jnp.int32)[:, None]
     lane = jnp.arange(zt * TILE_LANE, dtype=jnp.int32)[None, :]
     if nz > 1:
-        iz, iy, ix = lane, row % ny, row // ny
+        iy, iz, ix = lane, row % nz, row // nz
     else:
         iz, iy, ix = jnp.zeros_like(lane), lane, row
     pxn = (ix.astype(jnp.float32) + scalars[_SC_X0]) / np.float32(
@@ -723,8 +735,8 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         return dmin, dmax
 
     if st.family == "hercules":
-        # Per-tile chunk bounds (delay varies < a chunk across channels at
-        # typical matrix-probe apertures, so per-tile granularity is tight).
+        # Per-(tile, channel-unit) bounds: rx over the unit's element
+        # interval, tx over the full element range (shared acq-0 transmit).
         xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
         yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
         zw = xdc[2, 0] * x + xdc[2, 1] * y + xdc[2, 2] * z + xdc[2, 3]
@@ -733,11 +745,14 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         p_rx = jnp.where(rx_cols, pxp, pyp)
         lat_tx = jnp.where(rx_cols, yw, xw)
         p_tx = jnp.where(rx_cols, pyp, pxp)
-        rlo = jnp.minimum(ch0 * p_rx, chn * p_rx)
-        rhi = jnp.maximum(ch0 * p_rx, chn * p_rx)
+        cuf = jnp.arange(n_cb, dtype=jnp.float32)[:, None, None]
+        c0 = ch0 + cuf * np.float32(ch_block)
+        c1 = jnp.minimum(c0 + np.float32(ch_block - 1), chn)
+        rlo = jnp.minimum(c0 * p_rx, c1 * p_rx)
+        rhi = jnp.maximum(c0 * p_rx, c1 * p_rx)
         e = t0_arr[:n_grid]
         elo, ehi = jnp.min(e) * p_tx, jnp.max(e) * p_tx
-        rxmin, rxmax = interval_dist(lat_rx, rlo, rhi)
+        rxmin, rxmax = interval_dist(lat_rx, rlo, rhi)   # (n_cb, ...)
         txmin, txmax = interval_dist(lat_tx, jnp.minimum(elo, ehi),
                                      jnp.maximum(elo, ehi))
         d2min = rxmin * rxmin + txmin * txmin
@@ -754,18 +769,20 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
         kmin = jnp.where(ok, imin, np.inf)
         kmax = jnp.where(ok, imax, -np.inf)
-        kmin_t = kmin.reshape(rt, ts, zt, TILE_LANE).min(axis=(1, 3))
-        kmax_t = kmax.reshape(rt, ts, zt, TILE_LANE).max(axis=(1, 3))
+        kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
+        kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
         nq = _cdiv(st.sample_count, CHUNK)
-        on = jnp.isfinite(kmax_t)
-        qlo = jnp.where(on, jnp.clip(jnp.floor(
+        unit_on = jnp.isfinite(kmax_t)
+        qlo = jnp.where(unit_on, jnp.clip(jnp.floor(
             (kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
             np.float32(nq)).astype(jnp.int32)
-        qhi = jnp.where(on, jnp.clip(jnp.floor(
+        qhi = jnp.where(unit_on, jnp.clip(jnp.floor(
             (kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
             np.float32(-1)).astype(jnp.int32)
-        return (on.reshape(-1).astype(jnp.int32),
-                qlo.reshape(-1), qhi.reshape(-1))
+        act = unit_on.any(axis=0)
+        return (act.reshape(-1).astype(jnp.int32),
+                qlo.transpose(1, 2, 0).reshape(-1),
+                qhi.transpose(1, 2, 0).reshape(-1))
 
     if st.family == "forces":
         # Per-(tile, 8-channel-unit) bounds: rx distance over the unit's
@@ -881,10 +898,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     n_blocks = _cdiv(n_acq_grid, tx_block)
     a_pad = n_blocks * tx_block
 
-    # RCA/FORCES: several channels per grid step (their cached terms are
+    # Several channels per grid step (each family's cached terms are
     # channel-independent); the bound-table units coincide with the blocks.
-    ch_block = min(_knob(st, "ch_block", 8), st.local_channels) \
-        if st.family in ("rca", "forces") else 1
+    ch_block = min(_knob(st, "ch_block", 8), st.local_channels)
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
     bounds_cb = ch_block
@@ -906,26 +922,16 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # Inactive tiles never read RF: collapse their block index to the
     # previous fetch target so the pipeline skips the HBM->VMEM copy
     # (consecutive identical block indices are not re-fetched).
-    if st.family in ("rca", "forces"):
-        # Channels innermost so per-(tile, block) transmit planes cached at
-        # ch == 0 stay valid for the whole channel sweep.
-        grid = (n_tiles, n_blocks, n_ch_grid)
-        out_spec = pl.BlockSpec((ts, TILE_LANE),
-                                lambda i, b, c, *_: (i // zt, i % zt),
-                                memory_space=pltpu.VMEM)
+    # Channels innermost so per-(tile, block) transmit planes cached at
+    # ch == 0 stay valid for the whole channel sweep.
+    grid = (n_tiles, n_blocks, n_ch_grid)
+    out_spec = pl.BlockSpec((ts, TILE_LANE),
+                            lambda i, b, c, *_: (i // zt, i % zt),
+                            memory_space=pltpu.VMEM)
 
-        def rf_index(i, b, c, scalars, t0, t1, act, *_):
-            on = act[i] > 0
-            return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
-    else:
-        grid = (n_tiles, st.local_channels, n_blocks)
-        out_spec = pl.BlockSpec((ts, TILE_LANE),
-                                lambda i, c, q, *_: (i // zt, i % zt),
-                                memory_space=pltpu.VMEM)
-
-        def rf_index(i, c, b, scalars, t0, t1, act, *_):
-            on = act[i] > 0
-            return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
+    def rf_index(i, b, c, scalars, t0, t1, act, *_):
+        on = act[i] > 0
+        return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
     n_slots = _pred_share(st)   # shared-predicate batches need a slot each
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -989,7 +995,10 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         n_rows, n_lanes = _axes(st)
 
         def trim(o):
-            return o[:n_rows, :n_lanes].reshape(nx, ny, nz)
+            o = o[:n_rows, :n_lanes]
+            if nz > 1:      # rows = (x, z), lanes = y
+                return o.reshape(nx, nz, ny).transpose(0, 2, 1)
+            return o.reshape(nx, ny, nz)
         res = (jax.lax.complex(trim(out_re), trim(out_im))
                if st.iq else trim(out_re))
         if st.coherency_weighting:
