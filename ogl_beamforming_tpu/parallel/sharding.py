@@ -201,3 +201,114 @@ def shard_plan_2d(plan: CompiledPlan, mesh: Mesh,
 def shard_rf_2d(rf, mesh: Mesh, channel_axis: str = CHANNEL_AXIS):
     return jax.device_put(
         rf, NamedSharding(mesh, P(channel_axis, None, None)))
+
+
+# ---------------------------------------------------------------------------
+# Transmit-axis sharding (multi-angle compounding)
+# ---------------------------------------------------------------------------
+
+TRANSMIT_AXIS = "transmits"
+
+
+def make_mesh_tx(channel_devices: int, transmit_devices: int, devices=None,
+                 channel_axis: str = CHANNEL_AXIS,
+                 transmit_axis: str = TRANSMIT_AXIS) -> Mesh:
+    """2D mesh: channels x transmits.  Both axes psum-reduce into the DAS
+    volume; transmit sharding is the compounding analogue of data parallel
+    (each device beamforms its subset of the steered transmits)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: channel_devices * transmit_devices])
+    return Mesh(devices.reshape(channel_devices, transmit_devices),
+                (channel_axis, transmit_axis))
+
+
+@lru_cache(maxsize=32)
+def _sharded_fn_tx(desc: PlanDescriptor, mesh: Mesh, channel_axis: str,
+                   transmit_axis: str):
+    """Channels x transmits sharding for RCA compounding pipelines
+    (TPW/VLS/Flash): every per-acquisition quantity lives in the traced
+    tables (orientations, focal vectors), so each device runs the pipeline
+    on its (channel, transmit) tile and the volume psum-reduces over both
+    mesh axes.
+
+    Decode pipelines are rejected: Hadamard decode contracts over the
+    transmit axis, which would need an extra all-to-all — use the channel
+    (and slab) axes for those.
+    """
+    import dataclasses as _dc
+    from ..params.enums import ShaderKind
+    if any(sd.kind == ShaderKind.Decode for sd in desc.stages):
+        raise ValueError("transmit sharding requires a decode-free pipeline "
+                         "(Hadamard decode contracts over transmits)")
+    das_static = next(sd.das for sd in desc.stages if sd.das is not None)
+    if das_static.family != "rca":
+        raise ValueError("transmit sharding supports the RCA compounding "
+                         "family (TPW/VLS/Flash)")
+
+    n_ch = mesh.shape[channel_axis]
+    n_tx = mesh.shape[transmit_axis]
+    if desc.channel_count % n_ch:
+        raise ValueError(f"channel count {desc.channel_count} not divisible "
+                         f"by {n_ch}")
+    if desc.acquisition_count % n_tx:
+        raise ValueError(f"acquisition count {desc.acquisition_count} not "
+                         f"divisible by {n_tx}")
+    local_channels = desc.channel_count // n_ch
+    local_acqs = desc.acquisition_count // n_tx
+
+    stages = tuple(
+        _dc.replace(sd, das=_dc.replace(sd.das,
+                                        grid_channels=local_channels,
+                                        acquisition_count=local_acqs))
+        if sd.das is not None else sd
+        for sd in desc.stages)
+    local_desc = _dc.replace(desc, stages=stages,
+                             acquisition_count=local_acqs)
+
+    def worker(rf_shard, dyn):
+        ch_offset = jax.lax.axis_index(channel_axis) * local_channels
+        dyn = dict(dyn)
+        if "das" in dyn and dyn["das"]:
+            a_off = jax.lax.axis_index(transmit_axis) * local_acqs
+            das_dyn = dict(dyn["das"])
+            das_dyn["channel_offset"] = ch_offset.astype(jnp.int32)
+            # per-acquisition tables: this shard's slice
+            for k in ("focal_vectors", "orientations", "sparse_elements"):
+                das_dyn[k] = jax.lax.dynamic_slice_in_dim(
+                    das_dyn[k], a_off, local_acqs, axis=0)
+            dyn["das"] = das_dyn
+        out = compose_stages(local_desc, rf_shard, dyn,
+                             skip_coherency_normalize=True)
+        out = jax.tree.map(lambda v: jax.lax.psum(v, channel_axis), out)
+        return jax.tree.map(lambda v: jax.lax.psum(v, transmit_axis), out)
+
+    mapped = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(channel_axis, transmit_axis, None), P()),
+        out_specs=P(),
+        check_vma=False)
+
+    def run(rf, dyn):
+        out = mapped(rf, dyn)
+        if desc.coherency_weighting:
+            coh, inco = out
+            return coherency_weighting.__wrapped__(coh, inco, 1.0)
+        return out
+
+    return jax.jit(run)
+
+
+def shard_plan_tx(plan: CompiledPlan, mesh: Mesh,
+                  channel_axis: str = CHANNEL_AXIS,
+                  transmit_axis: str = TRANSMIT_AXIS) -> CompiledPlan:
+    """Run an RCA compounding plan over a channels x transmits mesh."""
+    import dataclasses
+    fn = _sharded_fn_tx(plan.descriptor, mesh, channel_axis, transmit_axis)
+    return dataclasses.replace(plan, fn=fn)
+
+
+def shard_rf_tx(rf, mesh: Mesh, channel_axis: str = CHANNEL_AXIS,
+                transmit_axis: str = TRANSMIT_AXIS):
+    return jax.device_put(
+        rf, NamedSharding(mesh, P(channel_axis, transmit_axis, None)))

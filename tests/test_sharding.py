@@ -124,3 +124,36 @@ def test_sharded_2d_coherency(rng):
     mesh = make_mesh_2d(2, 4)
     out = np.asarray(shard_plan_2d(plan, mesh)(shard_rf_2d(rf, mesh)))
     assert nrmse(ref, out) < 1e-5
+
+
+def test_sharded_tx_mesh_matches_single(rng):
+    """channels x transmits mesh (multi-angle TPW compounding) parity."""
+    from ogl_beamforming_tpu.parallel.sharding import (make_mesh_tx,
+                                                       shard_plan_tx,
+                                                       shard_rf_tx)
+    a = 8
+    angles = np.linspace(-8, 8, a).astype(np.float32)
+    fv = np.stack([angles, np.full(a, np.inf, np.float32)], axis=1)
+    p = _params(a=a, acquisition_kind=AcquisitionKind.RCA_TPW,
+                decode_mode=0, single_focus=0, single_orientation=1)
+    plan = _plan_for(p, [ShaderKind.DAS], DataKind.Float32)
+    # rebuild with explicit per-acq focal vectors
+    plan = build_plan(p, PipelineSpec.from_shaders([ShaderKind.DAS],
+                                                   DataKind.Float32),
+                      {}, focal_vectors=fv, voxel_block=128)
+    rf = rng.standard_normal((16, a, 256)).astype(np.float32)
+    ref = plan(rf)
+
+    mesh = make_mesh_tx(2, 4)
+    sharded = shard_plan_tx(plan, mesh)
+    out = sharded.fn(shard_rf_tx(rf, mesh), plan.dyn)
+    assert nrmse(np.asarray(ref), np.asarray(out)) < 1e-5
+
+
+def test_sharded_tx_rejects_decode(rng):
+    from ogl_beamforming_tpu.parallel.sharding import (make_mesh_tx,
+                                                       shard_plan_tx)
+    p = _params()
+    plan = _plan_for(p, [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    with pytest.raises(ValueError, match="decode-free"):
+        shard_plan_tx(plan, make_mesh_tx(2, 4))
