@@ -58,11 +58,9 @@ CHUNK = 128
 
 
 def _tile_rows(st) -> int:
-    """Image rows per voxel tile.  Measured per family on v5e: 16 for
-    RCA/FORCES (with predicate sharing), 32 for HERCULES 3D volumes
-    (PERFORMANCE.md round-2 sweeps)."""
-    return _knob(st, "tile_sub",
-                 32 if st.family == "hercules" else TILE_SUB)
+    """Image rows per voxel tile (16 best for every family once predicates
+    are shared and bounds prefetched; PERFORMANCE.md round-2 sweeps)."""
+    return _knob(st, "tile_sub", TILE_SUB)
 
 # Bench-only kernel-structure knobs (experiments/ablate_das.py).  Read at
 # trace time; callers must clear _das_call's lru_cache after changing them.
@@ -358,7 +356,7 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
                 scalars_ref, t0_ref, t1_ref, act_ref, qlo_ref, qhi_ref,
                 vt_ref, xdc_ref, rf_ref, out_re_ref,
                 out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
-                rx_ref, herc_ref, txc_ref):
+                herc_ref, txc_ref):
     """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
     transmits are processed per step to amortize world-point/output traffic
     and grid overhead.
@@ -406,14 +404,14 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
                        qmin, qmax,
                        scalars_ref, t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref,
                        out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
-                       acc_im_ref, world_ref, rx_ref, herc_ref, txc_ref)
+                       acc_im_ref, world_ref, herc_ref, txc_ref)
 
 
 def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
                    scalars_ref,
                    t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref,
                    out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
-                   rx_ref, herc_ref, txc_ref):
+                   herc_ref, txc_ref):
     s = st.sample_count
     nq = _cdiv(s, CHUNK)
     iq = st.iq
@@ -525,7 +523,8 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     # Chunk predication granularity, measured per family: RCA's shared
     # scalar predicates make per-chunk skipping free; HERCULES/FORCES favor
     # groups of 4 (linear taps -> less work per chunk, branches matter).
-    group = min(nq, _knob(st, "group", 1 if st.family == "rca" else 4))
+    group = min(nq, _knob(st, "group",
+                          {"rca": 1, "hercules": 2}.get(st.family, 4)))
 
     for b0 in range(0, len(pairs), share):
         batch = pairs[b0:b0 + share]
@@ -948,10 +947,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc re
             pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc im
-            pltpu.VMEM((4, ts, TILE_LANE), jnp.float32),
-            pltpu.VMEM((3, ts, TILE_LANE), jnp.float32),
-            pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),
-            pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((4, ts, TILE_LANE), jnp.float32),   # world cache
+            pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # tile terms
+            pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),  # tx planes
         ],
     )
 
@@ -1173,9 +1171,12 @@ def save_tuned(path):
 def load_tuned(path):
     """Load a :func:`save_tuned` table; later plans pick the entries up."""
     import json
+
+    from .das import das_jit
     with open(path) as f:
         for row in json.load(f):
             k = row["key"]
             TUNED[(k[0], k[1], k[2], k[3], k[4], k[5], tuple(k[6]))] = \
                 row["knobs"]
     _das_call.cache_clear()
+    das_jit.clear_cache()    # already-traced configs must re-trace

@@ -11,6 +11,7 @@ same object for ABI clients.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -107,6 +108,12 @@ class Beamformer:
         self.stats = ComputeStats()
         self.live_parameters = LiveImagingParameters()
         self._live_dirty = 0
+        self._stop_latch = False
+        # Guards frame-id allocation, the backlog and the stats table:
+        # pipelined sessions (one per parameter block) record frames from
+        # concurrent worker threads.
+        self._frame_lock = threading.RLock()
+        self._fraction_cache: dict = {}
 
     # ------------------------------------------------------------------
     # Parameter configuration
@@ -218,10 +225,12 @@ class Beamformer:
         return b._plan
 
     def _stage_fractions(self, plan: CompiledPlan, rf) -> list[float]:
-        """Per-stage share of frame time, calibrated once per plan by
-        running each stage's individually-jitted fn with readback-forced
-        timing (then cached on the plan object)."""
-        cached = getattr(plan, "_stage_fractions", None)
+        """Per-stage share of frame time, calibrated once per *descriptor*
+        by running each stage's individually-jitted fn with readback-forced
+        timing.  Keyed on the descriptor (like the stage fns themselves):
+        parameter edits rebuild the CompiledPlan object but reuse the
+        calibration."""
+        cached = self._fraction_cache.get(plan.descriptor)
         if cached is not None:
             return cached
         n_stages = max(len(plan.descriptor.stages), 1)
@@ -238,7 +247,7 @@ class Beamformer:
             fractions = [t / total for t in times]
         except Exception:               # calibration must never break compute
             fractions = [1.0 / n_stages] * n_stages
-        plan._stage_fractions = fractions
+        self._fraction_cache[plan.descriptor] = fractions
         return fractions
 
     def push_data_with_compute(self, data: np.ndarray,
@@ -297,11 +306,18 @@ class Beamformer:
             # reference's per-dispatch timestamps
             # (beamformer_core.c:1602-1628).
             fractions = self._stage_fractions(plan, rf)
-            self.stats.record_frame([dt * f for f in fractions])
-        frame = Frame(data=out, id=self._frame_id,
-                      view_plane=ViewPlaneTag(image_plane_tag))
-        self._frame_id += 1
-        self._push_backlog(frame)
+            with self._frame_lock:
+                self.stats.record_frame([dt * f for f in fractions])
+        return self._register_frame(out, ViewPlaneTag(image_plane_tag))
+
+    def _register_frame(self, out, view_plane) -> Frame:
+        """Allocate a frame id and append to the backlog under the frame
+        lock (streaming sessions call this from worker threads)."""
+        with self._frame_lock:
+            frame = Frame(data=out, id=self._frame_id,
+                          view_plane=view_plane)
+            self._frame_id += 1
+            self._push_backlog(frame)
         return frame
 
     # ------------------------------------------------------------------
@@ -371,8 +387,16 @@ class Beamformer:
 
     def set_live_parameters(self, params: LiveImagingParameters,
                             dirty_flags: int = 0):
+        from ..params.enums import LiveImagingDirtyFlags
         self.live_parameters = params
         self._live_dirty |= dirty_flags
+        # Latch StopImaging so the control is not lost when a polling
+        # client consumes the dirty flag before a session checks it.
+        if dirty_flags & LiveImagingDirtyFlags.StopImaging \
+                and not params.active:
+            self._stop_latch = True
+        elif params.active:
+            self._stop_latch = False
 
     def get_live_parameters(self) -> LiveImagingParameters:
         return self.live_parameters

@@ -81,6 +81,13 @@ static void *os_shm_create(const char *name, u64 size)
 	HANDLE h = CreateFileMappingA(INVALID_HANDLE_VALUE, 0, PAGE_READWRITE,
 	                              (u32)(size >> 32), (u32)size, name);
 	if (!h) return 0;
+	if (GetLastError() == ERROR_ALREADY_EXISTS) {
+		/* A previous instance's mapping (possibly a different size)
+		 * is still alive; refuse rather than adopt it (the POSIX path
+		 * unlinks + retruncates — sections cannot be resized). */
+		CloseHandle(h);
+		return 0;
+	}
 	void *mem = MapViewOfFile(h, FILE_MAP_ALL_ACCESS, 0, 0, 0);
 	/* NOTE: the mapping handle is intentionally leaked for the server's
 	 * lifetime (named mappings vanish when all handles close). */

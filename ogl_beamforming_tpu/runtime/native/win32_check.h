@@ -56,4 +56,6 @@ SIZE_T VirtualQuery(LPCVOID lpAddress, MEMORY_BASIC_INFORMATION *lpBuffer,
 ULONGLONG GetTickCount64(void);
 DWORD  GetLastError(void);
 
+#define ERROR_ALREADY_EXISTS 183
+
 #endif /* BF_WIN32_CHECK_H */

@@ -142,9 +142,12 @@ class BeamformerServer:
     # -- streaming sessions ----------------------------------------------
 
     def _live_stop_requested(self) -> bool:
-        """Peek the shm live-imaging control: stop when a client set
-        active = 0 with a pending StopImaging flag (throughput.c:558-560).
-        Does not consume the flag — that belongs to polling clients."""
+        """Stop when the live control asked to (throughput.c:558-560).
+
+        ``set_live`` latches StopImaging directly (dirty flags originate
+        server-side); the shm peek is a fallback that does not consume the
+        flag — the flag queue belongs to polling clients, and their consume
+        can race this check (hence the latch)."""
         from ..params.enums import LiveImagingDirtyFlags
         pending = self._live_dirty_ptr.contents.value
         if (not self._live.contents.active
@@ -317,11 +320,19 @@ class BeamformerServer:
     def set_live(self, dirty_flags: int = 0, **fields):
         """Update live-imaging parameters and mark dirty flags for clients
         to poll (the UI-side of the reference's live-control loop)."""
+        from ..params.enums import LiveImagingDirtyFlags
         live = self.lib.bf_server_live(None).contents
         for name, value in fields.items():
             setattr(live, name, value)
         if dirty_flags:
             self.lib.bf_server_mark_live_dirty(dirty_flags)
+        # Latch StopImaging here: polling clients consume the dirty flag,
+        # so the later peek in _live_stop_requested could miss it.
+        if dirty_flags & LiveImagingDirtyFlags.StopImaging \
+                and not live.active:
+            self._imaging_stopped = True
+        elif fields.get("active"):
+            self._imaging_stopped = False
 
     def _publish_stats(self):
         t = self.beamformer.stats.table

@@ -78,6 +78,8 @@ class StreamingSession:
         pending dirty flags without consuming them — the flag queue belongs
         to polling clients."""
         bf = self.beamformer
+        if getattr(bf, "_stop_latch", False):
+            return True
         live = bf.get_live_parameters()
         pending = getattr(bf, "_live_dirty", 0)
         return bool(not getattr(live, "active", 1)
@@ -142,10 +144,7 @@ class StreamingSession:
                 # middle of a timed streaming run
                 bf._stage_fractions(plan, rf_dev)
                 out = plan(rf_dev)
-                frame = Frame(data=out if not isinstance(out, tuple) else out,
-                              id=bf._frame_id, view_plane=tag)
-                bf._frame_id += 1
-                bf._push_backlog(frame)
+                frame = bf._register_frame(out, tag)
                 fut.set_result(frame)
                 # Honest device frame time: force completion of the
                 # *previous* frame while this one is in flight and record
