@@ -51,7 +51,7 @@ def bench_decode(c=256, s=4096, transmits=(16, 64, 96, 256), iters=100):
     return results
 
 
-def bench_das_chain(c=128, a=16, s=2048, nx=256, nz=512, iters=4,
+def bench_das_chain(c=128, a=16, s=2048, nx=256, nz=512, iters=32,
                     voxel_block=32768):
     """Multi-transmit decode -> DAS chain (FORCES compounding)."""
     import jax.numpy as jnp
@@ -90,9 +90,13 @@ def bench_das_chain(c=128, a=16, s=2048, nx=256, nz=512, iters=4,
     }
 
 
-def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=8):
+def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
     """2D plane-wave DAS on the throughput.c output grid (BASELINE config 2:
     512x1024 voxels, lateral +-60 mm, axial 10-165 mm, f# = 0.5, cubic IQ).
+
+    32-frame averages, matching the reference's stats window
+    (tests/decode.c AVERAGE_SAMPLES; the tunneled runtime's ~30 ms readback
+    RTT amortizes out of the sustained-throughput number).
     """
     import jax
     import jax.numpy as jnp
