@@ -31,6 +31,10 @@ def _conv1d(x: jax.Array, taps: jax.Array, decimation_rate: int) -> jax.Array:
         padding=[(length - 1, decimation_rate)],
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32,
+        # TPU convs default to bf16 inputs: the FIR must stay full f32 to
+        # hold the <=1e-3 NRMSE contract (measured 1.9e-3 chain error at
+        # the default precision on v5e).
+        precision=jax.lax.Precision.HIGHEST,
     )
     n_out = s // decimation_rate
     return out[:, 0, :n_out].reshape(lead + (n_out,))
