@@ -149,12 +149,15 @@ def _world_points(st: DasStatic, dyn) -> jax.Array:
     gy = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 1) / denom[1]
     gz = jax.lax.broadcasted_iota(jnp.float32, (nx, ny, nz), 2) / denom[2]
     p = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
-    m = dyn["voxel_transform"]
-    return p @ m[:3, :3].T + m[:3, 3]
+    return _apply_m4(dyn["voxel_transform"], p)
 
 
 def _apply_m4(m: jax.Array, pts: jax.Array) -> jax.Array:
-    return pts @ m[:3, :3].T + m[:3, 3]
+    # elementwise form: a (N,3)@(3,3) dot could run at TPU's default bf16
+    # matmul precision, corrupting world coordinates (delay indices)
+    return jnp.stack(
+        [m[i, 0] * pts[..., 0] + m[i, 1] * pts[..., 1]
+         + m[i, 2] * pts[..., 2] + m[i, 3] for i in range(3)], axis=-1)
 
 
 def _gather_lines(lines: jax.Array, idx: jax.Array) -> jax.Array:
