@@ -95,10 +95,21 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _lat_lanes(st: DasStatic) -> bool:
+    """2D layouts put lateral x on vector lanes by default (same lesson as
+    3D volumes): an axial lane axis pays the delay *slope* over 128 voxels
+    (~8 samples/voxel -> 9-10 RF chunks scanned per tile on the BASELINE
+    plane-wave grid); a lateral lane axis pays only aperture curvature
+    inside the f-number cone (measured executed-chunk total 0.53x,
+    experiments/layout_stats.py)."""
+    return bool(_knob(st, "lat_lanes", st.output_points[2] == 1))
+
+
 def _axes(st: DasStatic):
     """(row_count, lane_count) of the kernel voxel layout.
 
-    2D (nz == 1): lanes = y (axial, das_transform_2d convention).
+    2D (nz == 1): lanes = **x (lateral)**, rows = y (axial) by default
+    (:func:`_lat_lanes`; the ``lat_lanes=0`` knob restores axial lanes).
     3D: lanes = **y (lateral)**, rows = (x, z) pairs.  An axial lane axis
     pays the delay *slope* (~10+ samples/voxel -> ~10 RF chunks scanned per
     tile); a lateral lane axis only pays aperture curvature (<= 1-2 chunks
@@ -106,6 +117,8 @@ def _axes(st: DasStatic):
     nx, ny, nz = st.output_points
     if nz > 1:
         return nx * nz, ny
+    if _lat_lanes(st):
+        return ny, nx
     return nx, ny
 
 
@@ -136,6 +149,10 @@ def _tile_world_points(st: DasStatic, tile_idx, vt, x_off=None):
         iy = lane
         iz = row % nz
         ix = row // nz
+    elif _lat_lanes(st):
+        iz = jnp.zeros_like(lane)
+        iy = row
+        ix = lane
     else:
         iz = jnp.zeros_like(lane)
         iy = lane
@@ -709,6 +726,8 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     lane = jnp.arange(zt * TILE_LANE, dtype=jnp.int32)[None, :]
     if nz > 1:
         iy, iz, ix = lane, row % nz, row // nz
+    elif _lat_lanes(st):
+        iz, iy, ix = jnp.zeros_like(lane), row, lane
     else:
         iz, iy, ix = jnp.zeros_like(lane), lane, row
     pxn = (ix.astype(jnp.float32) + scalars[_SC_X0]) / np.float32(
@@ -996,6 +1015,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             o = o[:n_rows, :n_lanes]
             if nz > 1:      # rows = (x, z), lanes = y
                 return o.reshape(nx, nz, ny).transpose(0, 2, 1)
+            if _lat_lanes(st):  # rows = y (axial), lanes = x (lateral)
+                return o.T.reshape(nx, ny, nz)
             return o.reshape(nx, ny, nz)
         res = (jax.lax.complex(trim(out_re), trim(out_im))
                if st.iq else trim(out_re))
