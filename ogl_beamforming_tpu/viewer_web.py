@@ -132,6 +132,13 @@ _XPLANE_PAGE = """<!doctype html>
   <div>X plane <img id="sx" width="200"/></div>
   <div>Y plane <img id="sy" width="200"/></div>
   <div>Z plane <img id="sz" width="200"/></div>
+  <div>MIP <img id="mip" width="200"/>
+   <label><input id="mipon" type="checkbox"/> live</label></div>
+  <div>oblique <img id="obl" width="200"/><br/>
+   n=(<input id="nx" size="3" value="0"/>,
+      <input id="ny" size="3" value="1"/>,
+      <input id="nz" size="3" value="1"/>)
+   <button onclick="refreshAux()">cut</button></div>
  </div>
  <div>
   <h4>parameters (live)</h4>
@@ -154,6 +161,15 @@ function refresh3d() {
     document.getElementById(id).src = `/slice.png?axis=${i}` +
       `&frac=${(offs[i]+1)/2}&db=${db.value}&gamma=${gval()}&t=${Date.now()}`;
   }
+  if (document.getElementById('mipon').checked) refreshAux();
+}
+function refreshAux() {
+  document.getElementById('mip').src = `/mip.png?yaw=${yaw}&pitch=${pitch}` +
+    `&db=${db.value}&gamma=${gval()}&size=200&t=${Date.now()}`;
+  const g = id => document.getElementById(id).value || 0;
+  document.getElementById('obl').src = `/oblique.png?nx=${g('nx')}` +
+    `&ny=${g('ny')}&nz=${g('nz')}&db=${db.value}&gamma=${gval()}` +
+    `&size=200&t=${Date.now()}`;
 }
 v3.onmousedown = async (e) => {
   const r = v3.getBoundingClientRect();
@@ -429,6 +445,22 @@ class LiveView:
                            float(frac))
         return encode_png_gray(img)
 
+    def mip_png(self, yaw=0.6, pitch=0.45, size=256, db_cutoff=-60.0,
+                gamma=1.0) -> bytes:
+        """Maximum-intensity projection of the latest volume."""
+        from .viewer_xplane import render_mip
+        img = render_mip(self._volume(db_cutoff, gamma), yaw=yaw,
+                         pitch=pitch, size=size)
+        return encode_png_gray(img)
+
+    def oblique_png(self, center, normal, size=256, db_cutoff=-60.0,
+                    gamma=1.0) -> bytes:
+        """Oblique (non-axis-aligned) slice through the latest volume."""
+        from .viewer_xplane import oblique_slice
+        img = oblique_slice(self._volume(db_cutoff, gamma), center, normal,
+                            size=size)
+        return encode_png_gray(img)
+
     def pick(self, body: dict) -> dict:
         from .viewer_xplane import pick_plane
         hit = pick_plane(body["offsets"], float(body["yaw"]),
@@ -521,6 +553,26 @@ class LiveView:
                         yaw=float(q.get("yaw", 0.6)),
                         pitch=float(q.get("pitch", 0.45)),
                         size=int(q.get("size", 512)),
+                        db_cutoff=float(q.get("db", -60)),
+                        gamma=float(q.get("gamma", 1.0)))
+                    self._send(200, "image/png", png)
+                elif url.path == "/mip.png":
+                    png = view.mip_png(
+                        yaw=float(q.get("yaw", 0.6)),
+                        pitch=float(q.get("pitch", 0.45)),
+                        size=int(q.get("size", 256)),
+                        db_cutoff=float(q.get("db", -60)),
+                        gamma=float(q.get("gamma", 1.0)))
+                    self._send(200, "image/png", png)
+                elif url.path == "/oblique.png":
+                    png = view.oblique_png(
+                        center=[float(q.get("cx", 0)),
+                                float(q.get("cy", 0)),
+                                float(q.get("cz", 0))],
+                        normal=[float(q.get("nx", 0)),
+                                float(q.get("ny", 0)),
+                                float(q.get("nz", 1))],
+                        size=int(q.get("size", 256)),
                         db_cutoff=float(q.get("db", -60)),
                         gamma=float(q.get("gamma", 1.0)))
                     self._send(200, "image/png", png)

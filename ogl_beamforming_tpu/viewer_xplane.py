@@ -112,6 +112,84 @@ def render_xplane(v: np.ndarray, offsets, yaw: float = 0.6,
     return out
 
 
+def _sample_volume(v: np.ndarray, p: np.ndarray,
+                   trilinear: bool = True) -> np.ndarray:
+    """Sample ``v`` at normalized coords ``p`` (..., 3) in [-1, 1]^3;
+    outside the volume returns 0."""
+    dims = np.asarray(v.shape, np.float32)
+    inside = np.all(np.abs(p) <= 1.0, axis=-1)
+    f = (np.clip(p, -1.0, 1.0) + 1.0) / 2.0 * (dims - 1)
+    if not trilinear:
+        i = np.round(f).astype(np.int32)
+        out = v[i[..., 0], i[..., 1], i[..., 2]]
+        return np.where(inside, out, 0.0)
+    i0 = np.clip(np.floor(f).astype(np.int32), 0,
+                 (dims - 2).astype(np.int32))
+    t = f - i0
+    out = np.zeros(p.shape[:-1], v.dtype)
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = (np.where(dx, t[..., 0], 1 - t[..., 0])
+                     * np.where(dy, t[..., 1], 1 - t[..., 1])
+                     * np.where(dz, t[..., 2], 1 - t[..., 2]))
+                out = out + w * v[i0[..., 0] + dx, i0[..., 1] + dy,
+                                  i0[..., 2] + dz]
+    return np.where(inside, out, 0.0)
+
+
+def oblique_slice(v: np.ndarray, center, normal, size: int = 256,
+                  extent: float = 1.0, trilinear: bool = True) -> np.ndarray:
+    """Arbitrary (non-axis-aligned) plane slice through the volume.
+
+    ``center``: plane point in normalized volume coords [-1, 1]^3;
+    ``normal``: plane normal (need not be unit).  Returns a (size, size)
+    image sampling the plane over u, w in [-extent, extent] along an
+    orthonormal in-plane basis (deterministic: e_u lies in the plane spanned
+    with the least-aligned world axis).  Extends the reference's
+    axis-aligned X-plane slicing (ui.c:913-1068) to oblique cuts.
+    """
+    c = np.asarray(center, np.float32)
+    n = np.asarray(normal, np.float32)
+    n = n / max(np.linalg.norm(n), 1e-12)
+    a = np.zeros(3, np.float32)
+    a[int(np.argmin(np.abs(n)))] = 1.0
+    e_u = np.cross(n, a)
+    e_u /= max(np.linalg.norm(e_u), 1e-12)
+    e_v = np.cross(n, e_u)
+    ws, us = np.mgrid[0:size, 0:size].astype(np.float32)
+    u = (us / (size - 1) * 2 - 1) * extent
+    w = (ws / (size - 1) * 2 - 1) * extent
+    p = (c[None, None] + u[..., None] * e_u[None, None]
+         + w[..., None] * e_v[None, None])
+    return _sample_volume(v, p, trilinear=trilinear)
+
+
+def render_mip(v: np.ndarray, yaw: float = 0.6, pitch: float = 0.45,
+               size: int = 256, n_steps: int = 128) -> np.ndarray:
+    """Maximum-intensity projection of the display volume along the
+    orthographic view ray (the classic volume MIP; the reference's render
+    samples a single plane per fragment — render_3d.frag.glsl:61-70 — MIP
+    is the natural volume view the UI lacks).
+
+    Marches ``n_steps`` samples per pixel through the rotated unit cube,
+    keeping a running max (nearest-neighbor: MIP is max-dominated, so
+    trilinear adds cost without changing the argmax ridge).
+    """
+    r = _rotation(yaw, pitch)
+    rinv = r.T
+    scale = size / 4.0
+    ys, xs = np.mgrid[0:size, 0:size]
+    sx = ((xs - size / 2) / scale).astype(np.float32)
+    sy = ((ys - size / 2) / scale).astype(np.float32)
+    out = np.zeros((size, size), np.float32)
+    span = np.sqrt(3.0)
+    for z in np.linspace(-span, span, n_steps, dtype=np.float32):
+        p = np.stack([sx, sy, np.full_like(sx, z)], axis=-1) @ rinv.T
+        out = np.maximum(out, _sample_volume(v, p, trilinear=False))
+    return out
+
+
 def pick_plane(offsets, yaw: float, pitch: float, px: float, py: float,
                size: int = 512):
     """Hit-test a click at pixel (px, py): which slice plane was grabbed?

@@ -114,11 +114,45 @@ def test_xplane_render_pick_drag():
     assert -1.0 <= off <= 1.0 and off != 0.0
 
 
+def test_oblique_slice_and_mip():
+    """Oblique plane sampling + maximum-intensity projection."""
+    from ogl_beamforming_tpu.viewer_xplane import oblique_slice, render_mip
+
+    v = np.zeros((16, 24, 32), np.float32)
+    v[8, 12, 20] = 1.0            # normalized ~ (0.067, 0.043, 0.290)
+    pt = np.array([8 / 15, 12 / 23, 20 / 31]) * 2 - 1
+
+    # a plane through the bright point contains it at the image center
+    img = oblique_slice(v, center=pt, normal=[1.0, 1.0, 1.0], size=65)
+    iy, ix = np.unravel_index(img.argmax(), img.shape)
+    assert img.max() > 0.2
+    assert abs(iy - 32) <= 2 and abs(ix - 32) <= 2
+    # a parallel plane far away misses it entirely
+    far = oblique_slice(v, center=[0.9, 0.9, 0.9], normal=[1.0, 1.0, 1.0],
+                        size=33)
+    assert far.max() < 0.05
+
+    # MIP picks up the global max from any view angle
+    for yaw, pitch in [(0.0, 0.0), (0.7, 0.4), (2.1, -0.3)]:
+        mip = render_mip(v, yaw=yaw, pitch=pitch, size=96, n_steps=96)
+        assert mip.max() == pytest.approx(1.0)
+    # identity view: the point projects at its (x, y) screen position
+    mip = render_mip(v, yaw=0.0, pitch=0.0, size=96, n_steps=96)
+    iy, ix = np.unravel_index(mip.argmax(), mip.shape)
+    assert abs(ix - (pt[0] * 24 + 48)) <= 2       # scale = size/4
+    assert abs(iy - (pt[1] * 24 + 48)) <= 2
+
+
 def test_xplane_endpoints(view):
     base = view.url.rstrip("/")
     png = urllib.request.urlopen(base + "/xplane.png?size=64").read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     png = urllib.request.urlopen(base + "/slice.png?axis=2&frac=0.5").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    png = urllib.request.urlopen(base + "/mip.png?size=48").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    png = urllib.request.urlopen(
+        base + "/oblique.png?nx=1&ny=1&nz=0.5&size=48").read()
     assert png[:8] == b"\x89PNG\r\n\x1a\n"
     page = urllib.request.urlopen(base + "/xplane").read()
     assert b"x-plane" in page
