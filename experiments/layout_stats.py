@@ -42,7 +42,7 @@ def chunk_stats(st, dyn, dp, ch_block=8, label=""):
     fn = jax.jit(lambda s_, a_, b_, v_, x_: dp._tile_activity(
         st, s_, a_, b_, v_, x_, n_grid=st.acquisition_count,
         n_cb=n_cb, ch_block=ch_block))
-    act, qlo, qhi = fn(sc, t0, t1, jnp.asarray(dyn["voxel_transform"]),
+    act, qlo, qhi, *_ = fn(sc, t0, t1, jnp.asarray(dyn["voxel_transform"]),
                        jnp.asarray(dyn["xdc_transform"]))
     act = np.asarray(act)
     qlo = np.asarray(qlo).reshape(-1, n_cb)

@@ -370,7 +370,9 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 # ---------------------------------------------------------------------------
 
 def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
+                n_blocks: int,
                 scalars_ref, t0_ref, t1_ref, act_ref, qlo_ref, qhi_ref,
+                qblo_ref, qbhi_ref,
                 vt_ref, xdc_ref, rf_ref, out_re_ref,
                 out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
                 herc_ref, txc_ref):
@@ -412,6 +414,14 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         # units encode (nq, -1) so all chunk groups predicate false.
         qmin = qlo_ref[tile * n_cb + ch]
         qmax = qhi_ref[tile * n_cb + ch]
+        if n_blocks > 1 and not ABLATE.get("no_blk_bounds"):
+            # Intersect with per-(tile, acquisition-block) bounds: the
+            # ch-unit bounds union over ALL transmits, but each block's
+            # transmit elements cover a narrow delay interval (measured
+            # 0.61x executed chunks on HERCULES 3D,
+            # experiments/herc_bounds_stats.py).
+            qmin = jnp.maximum(qmin, qblo_ref[tile * n_blocks + blk])
+            qmax = jnp.minimum(qmax, qbhi_ref[tile * n_blocks + blk])
     else:
         qmin = qmax = None
 
@@ -696,16 +706,21 @@ def _act_margin():
 
 
 def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
-                   n_grid: int, n_cb: int = 1, ch_block: int = 1):
-    """Per-tile activity flags + (RCA) per-(tile, channel-unit) chunk bounds.
+                   n_grid: int, n_cb: int = 1, ch_block: int = 1,
+                   tx_block: int = 4):
+    """Per-tile activity flags + per-(tile, channel-unit) and
+    per-(tile, acquisition-block) chunk bounds.
 
-    Returns ``(act, qlo, qhi)``: ``act`` is (n_tiles,) int32 — 1 if any
-    (voxel, channel, acq) of the tile can contribute (delay-index interval
-    overlaps [0, S) and some channel's f-number cone contains it).  For the
-    RCA family, ``qlo``/``qhi`` are (n_tiles * n_cb,) int32 conservative
-    RF-chunk bounds per (tile, channel-unit) — prefetched so the kernel's
-    chunk predicates are pure scalar reads instead of vector->scalar
-    reductions (which stall the scalar core on the vector pipeline).
+    Returns ``(act, qlo, qhi, qblo, qbhi)``: ``act`` is (n_tiles,) int32 —
+    1 if any (voxel, channel, acq) of the tile can contribute (delay-index
+    interval overlaps [0, S) and some channel's f-number cone contains it).
+    ``qlo``/``qhi`` are (n_tiles * n_cb,) int32 conservative RF-chunk
+    bounds per (tile, channel-unit) — prefetched so the kernel's chunk
+    predicates are pure scalar reads instead of vector->scalar reductions
+    (which stall the scalar core on the vector pipeline).  ``qblo``/``qbhi``
+    are (n_tiles * n_blocks,) bounds per (tile, transmit-block) — the
+    ch-unit bounds union over all transmits, so multi-transmit configs
+    intersect both tables in-kernel (0.61x executed chunks on HERCULES 3D).
     Inactive units encode (nq, -1) so every group predicate is false.
     A conservative over-approximation throughout (false positives only cost
     time; the kernel's own masks stay authoritative).
@@ -717,6 +732,7 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     rt, zt = _n_row_tiles(st), _n_z_tiles(st)
     if ABLATE.get("no_bounds"):       # round-1 behavior (A/B harness)
         return (jnp.ones(rt * zt, jnp.int32),
+                jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
                 jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
     n_rows, n_lanes = _axes(st)
     nx, ny, nz = st.output_points
@@ -751,6 +767,37 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         dmin = jnp.maximum(0.0, jnp.maximum(lo - lat, lat - hi))
         dmax = jnp.maximum(jnp.abs(lat - lo), jnp.abs(lat - hi))
         return dmin, dmax
+
+    nq = _cdiv(st.sample_count, CHUNK)
+    n_blocks = _cdiv(n_grid, tx_block)
+    ts_q = _tile_rows(st)
+
+    def quant(kmin_t, kmax_t):
+        on = jnp.isfinite(kmax_t)
+        ql = jnp.where(on, jnp.clip(jnp.floor(
+            (kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(nq)).astype(jnp.int32)
+        qh = jnp.where(on, jnp.clip(jnp.floor(
+            (kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
+            np.float32(-1)).astype(jnp.int32)
+        return ql, qh
+
+    def block_tables(per_block_intervals):
+        """Stack per-(tile, transmit-block) bounds into the prefetch
+        layout ``[tile * n_blocks + b]`` from (imin, imax, ok) tuples."""
+        if n_blocks <= 1:
+            return jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)
+        qblo_l, qbhi_l = [], []
+        for imin_b, imax_b, ok_b in per_block_intervals:
+            kb_min = jnp.where(ok_b, imin_b, np.inf).reshape(
+                rt, ts_q, zt, TILE_LANE).min(axis=(1, 3))
+            kb_max = jnp.where(ok_b, imax_b, -np.inf).reshape(
+                rt, ts_q, zt, TILE_LANE).max(axis=(1, 3))
+            qbl, qbh = quant(kb_min, kb_max)
+            qblo_l.append(qbl)
+            qbhi_l.append(qbh)
+        return (jnp.stack(qblo_l, axis=-1).reshape(-1),
+                jnp.stack(qbhi_l, axis=-1).reshape(-1))
 
     if st.family == "hercules":
         # Per-(tile, channel-unit) bounds: rx over the unit's element
@@ -789,18 +836,37 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         kmax = jnp.where(ok, imax, -np.inf)
         kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
         kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
-        nq = _cdiv(st.sample_count, CHUNK)
+        qlo, qhi = quant(kmin_t, kmax_t)
         unit_on = jnp.isfinite(kmax_t)
-        qlo = jnp.where(unit_on, jnp.clip(jnp.floor(
-            (kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
-            np.float32(nq)).astype(jnp.int32)
-        qhi = jnp.where(unit_on, jnp.clip(jnp.floor(
-            (kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
-            np.float32(-1)).astype(jnp.int32)
         act = unit_on.any(axis=0)
+
+        # per-(tile, transmit-block): full-channel rx interval + the
+        # block's transmit-element interval
+        def herc_blocks():
+            rfmin, rfmax = interval_dist(
+                lat_rx, jnp.minimum(ch0 * p_rx, chn * p_rx),
+                jnp.maximum(ch0 * p_rx, chn * p_rx))
+            for b in range(n_blocks):
+                eb = t0_arr[b * tx_block:min((b + 1) * tx_block, n_grid)]
+                eblo = jnp.min(eb) * p_tx
+                ebhi = jnp.max(eb) * p_tx
+                tbmin, tbmax = interval_dist(lat_tx,
+                                             jnp.minimum(eblo, ebhi),
+                                             jnp.maximum(eblo, ebhi))
+                d2min_b = rfmin * rfmin + tbmin * tbmin
+                d2max_b = rfmax * rfmax + tbmax * tbmax
+                cone_b = jnp.where(fnum > 0,
+                                   d2min_b * (fnum * fnum) < 0.25 * zw2,
+                                   True)
+                imin_b = tx_index0 + jnp.sqrt(zw2 + d2min_b) * (fs / sos)
+                imax_b = tx_index0 + jnp.sqrt(zw2 + d2max_b) * (fs / sos)
+                ok_b = (cone_b & in_range & (imax_b >= s_lo)
+                        & (imin_b <= s_hi))
+                yield imin_b, imax_b, ok_b
+        qblo, qbhi = block_tables(herc_blocks())
         return (act.reshape(-1).astype(jnp.int32),
                 qlo.transpose(1, 2, 0).reshape(-1),
-                qhi.transpose(1, 2, 0).reshape(-1))
+                qhi.transpose(1, 2, 0).reshape(-1), qblo, qbhi)
 
     if st.family == "forces":
         # Per-(tile, 8-channel-unit) bounds: rx distance over the unit's
@@ -830,20 +896,35 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         kmax = jnp.where(ok, imax, -np.inf)
         kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
         kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
-        nq = _cdiv(st.sample_count, CHUNK)
+        qlo, qhi = quant(kmin_t, kmax_t)
         unit_on = jnp.isfinite(kmax_t)
-        qlo = jnp.where(
-            unit_on,
-            jnp.clip(jnp.floor((kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
-            np.float32(nq)).astype(jnp.int32)
-        qhi = jnp.where(
-            unit_on,
-            jnp.clip(jnp.floor((kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
-            np.float32(-1)).astype(jnp.int32)
         act = unit_on.any(axis=0)
+
+        # per-(tile, transmit-block): rx over the full channel interval
+        # (separable index = rx + tx), tx over the block's element range
+        def forces_blocks():
+            dfmin, dfmax = interval_dist(
+                x, jnp.minimum(ch0 * pxp, chn * pxp),
+                jnp.maximum(ch0 * pxp, chn * pxp))
+            cone_f = jnp.abs(fnum * dfmin / z) < 0.5
+            rx_min_f = (jnp.sqrt(dfmin * dfmin + z2) / sos + t0) * fs
+            rx_max_f = (jnp.sqrt(dfmax * dfmax + z2) / sos + t0) * fs
+            for b in range(n_blocks):
+                eb = t0_arr[b * tx_block:min((b + 1) * tx_block, n_grid)]
+                eblo, ebhi = jnp.min(eb), jnp.max(eb)
+                tdbmin, tdbmax = interval_dist(x, jnp.minimum(eblo, ebhi),
+                                               jnp.maximum(eblo, ebhi))
+                tx_min_b = jnp.sqrt(base2 + tdbmin * tdbmin) * (fs / sos)
+                tx_max_b = jnp.sqrt(base2 + tdbmax * tdbmax) * (fs / sos)
+                imin_b = rx_min_f + tx_min_b
+                imax_b = rx_max_f + tx_max_b
+                ok_b = (cone_f & in_range & (imax_b >= s_lo)
+                        & (imin_b <= s_hi))
+                yield imin_b, imax_b, ok_b
+        qblo, qbhi = block_tables(forces_blocks())
         return (act.reshape(-1).astype(jnp.int32),
                 qlo.transpose(1, 2, 0).reshape(-1),
-                qhi.transpose(1, 2, 0).reshape(-1))
+                qhi.transpose(1, 2, 0).reshape(-1), qblo, qbhi)
     else:   # rca — also computes per-(tile, channel-unit) chunk bounds
         xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
         yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
@@ -855,6 +936,9 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         c1 = jnp.minimum(c0 + np.float32(ch_block - 1), chn)
         kmin = jnp.full((n_cb,) + x.shape, np.inf, jnp.float32)
         kmax = jnp.full((n_cb,) + x.shape, -np.inf, jnp.float32)
+        kminb = [None] * n_blocks          # per-(tile, transmit-block)
+        kmaxb = [None] * n_blocks
+        okb_any = [None] * n_blocks
         azw = jnp.abs(zw)
         zw2 = zw * zw
         for a in range(n_grid):
@@ -876,23 +960,33 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
             ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
             kmin = jnp.minimum(kmin, jnp.where(ok, imin, np.inf))
             kmax = jnp.maximum(kmax, jnp.where(ok, imax, -np.inf))
+            if n_blocks > 1:
+                # block union over this acq, channels unioned (cu axis 0)
+                b = a // tx_block
+                imin_f = imin.min(axis=0)
+                imax_f = imax.max(axis=0)
+                ok_f = ok.any(axis=0)
+                km = jnp.where(ok_f, imin_f, np.inf)
+                kM = jnp.where(ok_f, imax_f, -np.inf)
+                kminb[b] = km if kminb[b] is None else jnp.minimum(
+                    kminb[b], km)
+                kmaxb[b] = kM if kmaxb[b] is None else jnp.maximum(
+                    kmaxb[b], kM)
+                okb_any[b] = ok_f if okb_any[b] is None else (okb_any[b]
+                                                              | ok_f)
         # tile-reduce -> (n_cb, rt, zt), then [tile * n_cb + cu] order
         kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
         kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
-        nq = _cdiv(st.sample_count, CHUNK)
+        qlo, qhi = quant(kmin_t, kmax_t)
         unit_on = jnp.isfinite(kmax_t)
-        qlo = jnp.where(
-            unit_on,
-            jnp.clip(jnp.floor((kmin_t - _act_margin()) / CHUNK), 0, nq - 1),
-            np.float32(nq)).astype(jnp.int32)
-        qhi = jnp.where(
-            unit_on,
-            jnp.clip(jnp.floor((kmax_t + _act_margin()) / CHUNK), 0, nq - 1),
-            np.float32(-1)).astype(jnp.int32)
         act = unit_on.any(axis=0)
+        qblo, qbhi = block_tables(
+            (kminb[b], kmaxb[b], okb_any[b]) for b in range(n_blocks)
+        ) if n_blocks > 1 else (jnp.zeros(1, jnp.int32),
+                                jnp.zeros(1, jnp.int32))
         return (act.reshape(-1).astype(jnp.int32),
                 qlo.transpose(1, 2, 0).reshape(-1),
-                qhi.transpose(1, 2, 0).reshape(-1))
+                qhi.transpose(1, 2, 0).reshape(-1), qblo, qbhi)
 
 
 @functools.lru_cache(maxsize=64)
@@ -929,7 +1023,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     rf_block = ((ch_block, tx_block, 2, s_pad) if st.iq
                 else (ch_block, tx_block, 1, s_pad))
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
-                               n_cb_bounds)
+                               n_cb_bounds, n_blocks)
 
     ts = _tile_rows(st)
     out_shapes = [jax.ShapeDtypeStruct((rt * ts, zt * TILE_LANE),
@@ -953,8 +1047,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     n_slots = _pred_share(st)   # shared-predicate batches need a slot each
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,    # scalars, geometry tables, tile flags,
-                                  # per-(tile, ch-unit) chunk bounds
+        num_scalar_prefetch=8,    # scalars, geometry tables, tile flags,
+                                  # per-(tile, ch-unit) + per-(tile,
+                                  # tx-block) chunk bounds
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # voxel transform (4,4)
@@ -1004,11 +1099,11 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             # Zero-padded channels/transmits gather zeros -> contribute 0.
             rf_planes = jnp.pad(
                 rf_planes, ((0, pad_c), (0, pad_a), (0, 0), (0, s_pad - s)))
-        act, qlo, qhi = _tile_activity(st, scalars, t0_arr, t1_arr, vt,
-                                       xdc, n_acq_grid, n_cb=n_cb_bounds,
-                                       ch_block=bounds_cb)
+        act, qlo, qhi, qblo, qbhi = _tile_activity(
+            st, scalars, t0_arr, t1_arr, vt, xdc, n_acq_grid,
+            n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block)
         out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
-                                    vt, xdc, rf_planes)
+                                    qblo, qbhi, vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
 
         def trim(o):
