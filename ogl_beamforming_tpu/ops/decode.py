@@ -108,19 +108,56 @@ def _decode_kernel_cb(scale, cb, h_ref, rf_ref, out_ref):
         out_ref[i] = acc * np.float32(scale)
 
 
+def _decode_kernel_i8(scale, cb, h_ref, rf_ref, out_ref):
+    """int8 two-pass variant: int16 x = 256*hi8 + (lo8 + 128) with
+    hi8 = x >> 8, lo8 = (x & 255) - 128 — both int8-exact; the +-1 Hadamard
+    is int8, so both MXU passes are int8 x int8 -> int32 (2x the bf16 MAC
+    rate on v5e) and the reassembly 256*P_hi + P_lo + 128*rowsum(H) is
+    integer-exact for the whole int16 range."""
+    h = h_ref[:]                                      # (A, A) int8
+    rs = jnp.sum(h.astype(jnp.int32), axis=1, keepdims=True) * 128
+    dn = (((1,), (0,)), ((), ()))
+    for i in range(cb):
+        # int16 shift/mask ops crash Mosaic (measured); widen to int32
+        x = rf_ref[i].astype(jnp.int32)               # (A, BS)
+        hi = (x >> 8).astype(jnp.int8)
+        lo = ((x & 255) - 128).astype(jnp.int8)
+        p_hi = jax.lax.dot_general(h, hi, dn,
+                                   preferred_element_type=jnp.int32)
+        p_lo = jax.lax.dot_general(h, lo, dn,
+                                   preferred_element_type=jnp.int32)
+        acc = p_hi * 256 + p_lo + rs
+        out_ref[i] = acc.astype(jnp.float32) * np.float32(scale)
+
+
+# Kernel-structure knobs for experiments/ablate_decode.py (bs, cb, i8);
+# trace-time like das_pallas.ABLATE — clear _decode_call between changes.
+DECODE_ABLATE: dict = {}
+
+
 @functools.lru_cache(maxsize=32)
-def _decode_call(c: int, a: int, s: int, interpret: bool):
+def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=()):
+    knobs = dict(knobs)
     # Large sample blocks + channel blocking keep the grid small: the sweep
     # shapes are bandwidth-bound and per-step overhead dominated at small A.
-    bs = min(2048, -(-s // 512) * 512)
+    bs = knobs.get("bs") or min(2048, -(-s // 512) * 512)
     s_pad = -(-s // bs) * bs
     # cap the VMEM block footprint: cb*a*bs elements live as i16 in, f32,
     # two bf16 planes and f32 out (double-buffered) — ~786k elements is the
-    # largest measured-safe block on v5e
-    cb = min(4, max(1, 786432 // (a * bs)))
+    # largest measured-safe block on v5e; within it, more channels per step
+    # amortize per-step overhead (T=16 sweep point: 2.08 -> 0.95 ms)
+    cb = knobs.get("cb") or min(16, max(1, 786432 // (a * bs)))
     while cb > 1 and c % cb:
         cb -= 1
-    kernel = partial(_decode_kernel_cb, 1.0 / a, cb)
+    # int8 two-pass wins where per-step MXU work is small relative to the
+    # VPU split overhead (T=16: 0.95 -> 0.64 ms); bf16 split measured
+    # faster for T >= 64
+    i8 = knobs.get("i8")
+    if i8 is None:
+        i8 = a <= 32
+    i8 = bool(i8)
+    kernel = partial(_decode_kernel_i8 if i8 else _decode_kernel_cb,
+                     1.0 / a, cb)
     fn = pl.pallas_call(
         kernel,
         grid=(c // cb, s_pad // bs),
@@ -135,10 +172,12 @@ def _decode_call(c: int, a: int, s: int, interpret: bool):
         interpret=interpret,
     )
 
+    h_dtype = jnp.int8 if i8 else jnp.bfloat16
+
     def run(rf, h):
         if s_pad != s:
             rf = jnp.pad(rf, ((0, 0), (0, 0), (0, s_pad - s)))
-        out = fn(h.astype(jnp.bfloat16), rf)
+        out = fn(h.astype(h_dtype), rf)
         return out[:, :, :s] if s_pad != s else out
 
     return run
@@ -152,7 +191,8 @@ def decode_hadamard_pallas(rf: jax.Array, hadamard: jax.Array,
     accumulate in f32); matches golden.decode_hadamard.
     """
     c, a, s = rf.shape
-    return _decode_call(c, a, s, interpret)(rf, hadamard)
+    return _decode_call(c, a, s, interpret,
+                        tuple(sorted(DECODE_ABLATE.items())))(rf, hadamard)
 
 
 def _use_pallas_decode(rf) -> bool:

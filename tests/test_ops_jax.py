@@ -223,3 +223,32 @@ def test_decode_pallas_matches_golden(rng):
                                                 interpret=True))
         ref = golden.decode_hadamard(rf, np.asarray(h))
         assert np.abs(out - ref).max() <= 2e-3   # ~1e-7 relative
+
+
+def test_decode_pallas_i8_exact(rng):
+    """Both kernel variants (split-bf16 2-pass and int8 2-pass) are exact
+    for full-range int16 inputs, pinned explicitly via DECODE_ABLATE."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.ops import decode as dec
+
+    c, a, s = 4, 16, 384
+    rf = rng.integers(-32768, 32767, (c, a, s)).astype(np.int16)
+    rf[0, 0, 0] = -32768                    # extreme corner values
+    rf[0, 0, 1] = 32767
+    h = dec.hadamard_matrix(a)
+    ref = golden.decode_hadamard(rf, np.asarray(h))
+    outs = {}
+    try:
+        for name, knobs in [("bf16", {"i8": 0}), ("i8", {"i8": 1})]:
+            dec.DECODE_ABLATE.clear()
+            dec.DECODE_ABLATE.update(knobs)
+            dec._decode_call.cache_clear()
+            outs[name] = np.asarray(dec.decode_hadamard_pallas(
+                jnp.asarray(rf), h, interpret=True))
+    finally:
+        dec.DECODE_ABLATE.clear()
+        dec._decode_call.cache_clear()
+    for name, out in outs.items():
+        assert np.abs(out - ref).max() <= 2e-3, name
+    # the two variants agree bitwise (both integer-exact before the scale)
+    assert np.array_equal(outs["bf16"], outs["i8"])
