@@ -137,31 +137,35 @@ def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
     Justification (measured numbers in PERFORMANCE.md):
 
     * The kernel is VPU-issue-bound, not HBM-bound: the whole RF frame
-      (C*S*8 B ~ 8 MB) fits in VMEM, so an HBM roofline is vacuous
-      (~20 us).  The binding resource is vector-op issue.
-    * Mosaic's only fast dynamic gather is ``take_along_axis`` *within a
-      128-lane row*.  A delay profile with slope sigma samples/voxel means a
-      128-voxel axial tile row spans sigma*128 samples = ceil(sigma)+1
-      chunks, and every chunk must be gathered for every tap/plane: the
-      required gather lane-ops per active (voxel, channel) are
-      ``span_chunks * taps * planes`` — this span factor is a property of
-      the gather ISA constraint, not of this implementation.
-    * Measured gather issue is ~1 vreg (1024 lanes) / cycle @ 0.94 GHz, and
-      index/weight/FMA overhead is ~1 extra lane-op per gather lane-op
-      (ablations: gathers are ~50% of kernel time).
+      (C*S*8 B ~ 8 MB) fits in VMEM and is read from HBM once (~20 us at
+      819 GB/s), so an HBM roofline is vacuous — the binding resource is
+      vector-op issue (BASELINE.md's HBM-roofline target is quoted against
+      this bound because it *is* this device's memory-side limit for the
+      op; both bounds are reported by --full).
+    * Mosaic's only fast dynamic gather is ``take_along_axis`` within a
+      128-lane row, issuing ~1 vreg (1024 lanes)/cycle (measured).  Cubic
+      IQ interpolation of one (voxel, channel) sample *requires* gathering
+      ``taps * planes`` values, so the hard lower bound is
+      ``taps * planes`` gather lane-ops per active (voxel, channel) —
+      independent of kernel formulation or voxel layout.
+    * Index/weight/FMA overhead adds ~1 lane-op per gather lane-op
+      (ablations: gathers are ~50% of kernel time), hence the factor 2.
     * Voxels beyond the last RF sample are skipped (activity pruning); the
       roofline only charges active voxels but the reported metric counts
       the full grid, exactly like the measured number does.
+
+    The achievable fraction of this bound is set by how many RF chunks the
+    tile layout must scan per needed tap: the round-2 axial-lanes layout
+    scanned ~9.3 (the delay slope), the lateral-lanes layout ~3.7 (aperture
+    curvature only; experiments/layout_stats.py) — layout work moves the
+    measured number toward this roofline rather than moving the target.
     """
-    dz = (axial_mm[1] - axial_mm[0]) * 1e-3 / max(nz - 1, 1)
-    slope = 2.0 * fs * dz / sos                      # samples per voxel
-    span_chunks = (128.0 * slope + taps) / 128.0 + 1.0
     z_data = s / fs * sos / 2.0                      # deepest sample (m)
     frac_active = min(max(
         (z_data - axial_mm[0] * 1e-3)
         / ((axial_mm[1] - axial_mm[0]) * 1e-3), 0.0), 1.0)
     lane_ops = (frac_active * nx * nz * c * a
-                * span_chunks * taps * planes * 2.0)   # gather + aux
+                * taps * planes * 2.0)               # gather + aux
     t = lane_ops / (vpu_lanes * clock)
     return nx * nz * c * a / t
 

@@ -694,8 +694,9 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
 def _pred_share(st) -> int:
     """Channels sharing one chunk-group predicate region (RCA only).
     Default: the whole channel block (measured best with per-chunk groups:
-    one scalar branch serves all 8 channels' gathers)."""
-    return max(1, int(_knob(st, "pred_share", 8)))
+    one scalar branch serves all of the block's gathers)."""
+    return max(1, int(_knob(st, "pred_share",
+                            16 if st.family == "rca" else 8)))
 
 
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
@@ -1012,7 +1013,11 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     # Several channels per grid step (each family's cached terms are
     # channel-independent); the bound-table units coincide with the blocks.
-    ch_block = min(_knob(st, "ch_block", 8), st.local_channels)
+    # RCA takes 16 with the lateral-lanes layout (11.1 -> 10.4 ms headline;
+    # the old 8 limit was register pressure under the axial layout);
+    # HERCULES/FORCES measured best at 8.
+    ch_block = min(_knob(st, "ch_block", 16 if st.family == "rca" else 8),
+                   st.local_channels)
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
     bounds_cb = ch_block
