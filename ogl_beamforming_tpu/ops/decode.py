@@ -200,3 +200,46 @@ def _use_pallas_decode(rf) -> bool:
     # (12/20-order Hadamards fall back to the XLA matmul).
     return (rf.dtype == jnp.int16 and rf.shape[1] % 8 == 0
             and jax.default_backend() == "tpu")
+
+
+def autotune_decode(rf, hadamard, candidates=None, iters: int = 50,
+                    warmup: int = 4):
+    """Measure decode kernel knob combinations for this shape on the
+    current device and install the fastest in :data:`DECODE_ABLATE`
+    (mirrors :func:`..ops.das_pallas.autotune_das`).  Returns
+    ``(best_knobs, {repr(knobs): seconds})``.
+    """
+    import time as _time
+
+    from ..utils.transfer import sync
+
+    if candidates is None:
+        candidates = [{}, {"i8": 1}, {"i8": 0}, {"cb": 8}, {"cb": 16},
+                      {"i8": 1, "cb": 16}]
+    results = {}
+    best, best_t = None, float("inf")
+    saved = dict(DECODE_ABLATE)
+    try:
+        for knobs in candidates:
+            DECODE_ABLATE.clear()
+            DECODE_ABLATE.update(knobs)
+            _decode_call.cache_clear()
+            try:
+                for _ in range(warmup):
+                    sync(decode_hadamard_pallas(rf, hadamard))
+                t0 = _time.perf_counter()
+                for _ in range(iters):
+                    out = decode_hadamard_pallas(rf, hadamard)
+                sync(out)
+                dt = (_time.perf_counter() - t0) / iters
+            except Exception:          # a candidate may not compile
+                results[repr(knobs)] = None
+                continue
+            results[repr(knobs)] = dt
+            if dt < best_t:
+                best_t, best = dt, dict(knobs)
+    finally:
+        DECODE_ABLATE.clear()
+        DECODE_ABLATE.update(saved if best is None else best)
+        _decode_call.cache_clear()
+    return best or {}, results

@@ -225,6 +225,21 @@ def test_decode_pallas_matches_golden(rng):
         assert np.abs(out - ref).max() <= 2e-3   # ~1e-7 relative
 
 
+def test_autotune_decode_interface(rng):
+    """autotune_decode degrades gracefully when no candidate compiles
+    (CPU has no Mosaic); on TPU it installs the fastest knobs."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.ops import decode as dec
+
+    rf = rng.integers(-512, 512, (4, 16, 256)).astype(np.int16)
+    h = dec.hadamard_matrix(16)
+    best, results = dec.autotune_decode(jnp.asarray(rf), h, iters=1,
+                                        warmup=0)
+    assert isinstance(best, dict)
+    assert results                      # every candidate was attempted
+    assert dec.DECODE_ABLATE == best or dec.DECODE_ABLATE == {}
+
+
 def test_decode_pallas_i8_exact(rng):
     """Both kernel variants (split-bf16 2-pass and int8 2-pass) are exact
     for full-range int16 inputs, pinned explicitly via DECODE_ABLATE."""
