@@ -129,6 +129,76 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
     }
 
 
+def bench_hercules(iters=3):
+    """HERCULES 3D volume (96^3, 128 ch x 128 tx, linear)."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.models.presets import hercules_3d
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+    from ogl_beamforming_tpu.utils.transfer import sync
+
+    p, pipe = hercules_3d()
+    plan = build_plan(p, pipe, {})
+    rf = jnp.asarray(
+        np.random.randint(-2048, 2048, (128, 128, 2048)).astype(np.int16))
+    dt = _timeit(lambda: plan(rf), sync, warmup=1, iters=iters)
+    return {"ms_per_frame": dt * 1e3,
+            "voxch_per_s": 96 ** 3 * 128 / dt,
+            "config": "HERCULES 96^3 C=A=128 linear int16"}
+
+
+def bench_uforces_3d(iters=2):
+    """3D volumetric sparse uFORCES with coherency weighting (BASELINE
+    config 4): decode over 64 acquisitions, DAS over the 63 sparse
+    transmits, 128^3 output."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.models.presets import uforces_volumetric
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+    from ogl_beamforming_tpu.utils.transfer import sync
+
+    p, pipe, sparse = uforces_volumetric()
+    plan = build_plan(p, pipe, {}, sparse_elements=sparse)
+    c, a, s = 256, 64, 2048
+    rf = jnp.asarray(
+        np.random.randint(-2048, 2048, (c, a, s)).astype(np.int16))
+    dt = _timeit(lambda: plan(rf), sync, warmup=1, iters=iters)
+    return {"ms_per_frame": dt * 1e3,
+            "voxch_per_s": 128 ** 3 * c / dt,
+            "config": "uFORCES 128^3 C=256 A=64 sparse + coherency"}
+
+
+def bench_forces_big(iters=8):
+    """FORCES compounding on the full 512x1024 grid (linear)."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.params.enums import (AcquisitionKind, DataKind,
+                                                  InterpolationMode,
+                                                  ShaderKind)
+    from ogl_beamforming_tpu.params.types import Parameters
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+    from ogl_beamforming_tpu.pipeline.spec import PipelineSpec
+    from ogl_beamforming_tpu.utils.transfer import sync
+    from ogl_beamforming_tpu.utils.transforms import das_transform_2d_xz
+
+    pitch = 0.3e-3
+    c, a, s, nx, nz = 256, 16, 2048, 512, 1024
+    p = Parameters(
+        sample_count=s, channel_count=c, acquisition_count=a,
+        sampling_frequency=20e6, demodulation_frequency=5e6,
+        speed_of_sound=1500.0, f_number=0.5,
+        acquisition_kind=AcquisitionKind.FORCES,
+        interpolation_mode=InterpolationMode.Linear,
+        das_voxel_transform=das_transform_2d_xz([-0.06, 0.01], [0.06, 0.165]),
+        xdc_element_pitch=np.array([pitch, pitch], np.float32),
+        output_points=np.array([nx, nz, 1, 0], np.int32))
+    plan = build_plan(p, PipelineSpec.from_shaders(
+        [ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16), {})
+    rf = jnp.asarray(np.random.randint(-2048, 2048, (c, a, s))
+                     .astype(np.int16))
+    dt = _timeit(lambda: plan(rf), sync, warmup=1, iters=iters)
+    return {"ms_per_frame": dt * 1e3,
+            "voxch_per_s": nx * nz * c / dt,
+            "config": f"FORCES C={c} A={a} S={s} out={nx}x{nz} linear"}
+
+
 def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
                    axial_mm=(10.0, 165.0), taps=4, planes=2,
                    vpu_lanes=1024, clock=0.94e9):
@@ -188,6 +258,9 @@ def main():
         result["plane_wave"] = pw
         result["decode_sweep"] = bench_decode()
         result["das_chain"] = bench_das_chain()
+        result["hercules_3d"] = bench_hercules()
+        result["forces_big"] = bench_forces_big()
+        result["uforces_3d"] = bench_uforces_3d()
     print(json.dumps(result))
 
 
