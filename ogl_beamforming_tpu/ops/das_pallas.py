@@ -546,12 +546,15 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     # predicate region (fewer scalar-core branches); each shared channel
     # gets its own accumulator plane in scratch.
     pairs = [(i, j) for i in range(ch_block) for j in range(tx_block)]
-    share = _pred_share(st) if qb_lo is not None else 1
-    # Chunk predication granularity, measured per family: RCA's shared
-    # scalar predicates make per-chunk skipping free; HERCULES/FORCES favor
-    # groups of 4 (linear taps -> less work per chunk, branches matter).
-    group = min(nq, _knob(st, "group",
-                          {"rca": 1, "hercules": 2}.get(st.family, 4)))
+    share = min(_pred_share(st, ch_block * tx_block), len(pairs)) \
+        if qb_lo is not None else 1
+    # Chunk predication granularity: with prefetched (and, multi-transmit,
+    # per-block-intersected) bounds plus whole-step predicate sharing, exact
+    # per-chunk skipping is essentially free — group=1 everywhere
+    # (re-measured: forces-big 57.8 -> 27.6 ms, HERCULES 1013 -> 856 ms,
+    # chain 17.3 -> 14.4 ms; the old per-family groups predated the block
+    # bounds).
+    group = min(nq, _knob(st, "group", 1))
 
     for b0 in range(0, len(pairs), share):
         batch = pairs[b0:b0 + share]
@@ -691,12 +694,12 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         out_in_ref[:] += sum_in
 
 
-def _pred_share(st) -> int:
-    """Channels sharing one chunk-group predicate region (RCA only).
-    Default: the whole channel block (measured best with per-chunk groups:
-    one scalar branch serves all of the block's gathers)."""
-    return max(1, int(_knob(st, "pred_share",
-                            16 if st.family == "rca" else 8)))
+def _pred_share(st, default: int = 8) -> int:
+    """Pairs sharing one chunk-group predicate region.  Default: the whole
+    grid step (ch_block x tx_block pairs) — one scalar branch serves every
+    gather of the step (capped at 32: larger single regions were not
+    measured and risk spills)."""
+    return max(1, int(_knob(st, "pred_share", min(default, 32))))
 
 
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
@@ -1050,7 +1053,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         on = act[i] > 0
         return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
-    n_slots = _pred_share(st)   # shared-predicate batches need a slot each
+    # shared-predicate batches need one accumulator slot per pair
+    n_slots = min(_pred_share(st, ch_block * tx_block),
+                  ch_block * tx_block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,    # scalars, geometry tables, tile flags,
                                   # per-(tile, ch-unit) + per-(tile,
@@ -1223,11 +1228,13 @@ def das_forces_pallas(rf, dyn, st, interpret: bool = False):
 
 def _default_candidates(st: DasStatic):
     if st.family == "rca":
-        return [{}, {"group": 2}, {"ch_block": 4}, {"pred_share": 4},
-                {"tile_sub": 32}]
+        return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
+                {"lat_lanes": 0}, {"tile_sub": 32}]
     if st.family == "hercules":
-        return [{}, {"group": 2}, {"group": 8}, {"tile_sub": 16}]
-    return [{}, {"group": 2}, {"group": 8}, {"tile_sub": 32}]
+        return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
+                {"tile_sub": 16}]
+    return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
+            {"tile_sub": 32}]
 
 
 def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
