@@ -4,10 +4,11 @@ The performance-critical replacement for the XLA-gather DAS in ops/das.py
 (XLA lowers per-voxel gathers to serialized loops on TPU; measured ~100x off
 roofline).  Design, driven by what Mosaic executes fast:
 
-  * Voxels are tiled (16 image rows x 128 axial positions) — sublane = image
-    row, lane = consecutive axial voxel.  Depth-local tiles bound each
-    tile's delay spread so only ~(span/128 + 1) of the RF line's 128-sample
-    chunks contribute.
+  * Voxels are tiled (16 rows x 128 lane positions) with the *lateral*
+    axis on lanes (2D: x, 3D: y): a lateral lane axis pays only aperture
+    curvature inside the f-number cone (~2-4 RF chunks per tile) where an
+    axial one pays the full delay slope (~8-10 chunks) — each tile's delay
+    spread bounds which of the RF line's 128-sample chunks contribute.
   * Grid = (voxel_tiles, channels-or-units, transmits): channel AND
     transmit are grid dims, so every RF access in the kernel body has a
     *static* address — dynamic-offset VMEM loads inside fori_loops were the
@@ -22,13 +23,14 @@ roofline).  Design, driven by what Mosaic executes fast:
     work, and every chunk predicate is a pure scalar read — no
     vector->scalar reduction stall on the scalar core.
   * The chunk loop is a *python* loop with a ``pl.when`` skip per chunk
-    (group) against those bounds; for RCA one predicate region is shared by
-    the whole channel block (8 channels per grid step, each with its own
-    scratch accumulator plane), so branch overhead is amortized 8x.
+    against those bounds; one predicate region is shared by every
+    (channel, transmit) pair of the grid step (each pair has its own
+    scratch accumulator plane), so branch overhead is amortized
+    ch_block x tx_block wide and exact per-chunk skipping is free.
   * One lane-gather (``take_along_axis`` within a 128-wide row — the one
     dynamic gather Mosaic lowers natively) per interpolation tap; gathers
-    issue at ~1 vreg/cycle and are ~half of kernel time at the measured
-    19 ms headline (ablations in PERFORMANCE.md).
+    issue at ~1 vreg/cycle and are ~45% of kernel time at the measured
+    10.4 ms headline (ablations in PERFORMANCE.md).
   * IQ data is carried as separate re/im f32 planes; the phase rotation
     exp(+j 2 pi f_d idx / fs) (das.glsl:51-59) is applied once per
     (tile, channel, transmit) after tap accumulation.
@@ -538,13 +540,13 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     sum_im = jnp.zeros((ts, TILE_LANE), jnp.float32)
     sum_in = jnp.zeros((ts, TILE_LANE), jnp.float32)
 
-    # ch_block channels per grid step (RCA): amortizes per-step fixed costs
+    # ch_block channels per grid step: amortizes per-step fixed costs
     # (grid bookkeeping, output/accumulator traffic, branch overhead) over
-    # several channels; rca's caches are channel-independent so they share.
-    # When chunk bounds are prefetched (RCA) they are identical for every
-    # channel of the step, so ``pred_share`` channels share one chunk-group
-    # predicate region (fewer scalar-core branches); each shared channel
-    # gets its own accumulator plane in scratch.
+    # several channels; every family's scratch caches are channel-
+    # independent so they share.  The prefetched chunk bounds are
+    # conservative for every pair of the step, so ``pred_share`` pairs
+    # share one chunk-group predicate region (fewer scalar-core branches);
+    # each shared pair gets its own accumulator plane in scratch.
     pairs = [(i, j) for i in range(ch_block) for j in range(tx_block)]
     share = min(_pred_share(st, ch_block * tx_block), len(pairs)) \
         if qb_lo is not None else 1
