@@ -56,8 +56,14 @@ def main():
     from ogl_beamforming_tpu.utils.transfer import sync
     from ogl_beamforming_tpu.utils.zbp import load_zbp
 
-    if args.synthetic or not args.dataset:
+    if args.synthetic:
         z = synthesize_zbp()
+    elif not args.dataset:
+        # default to the committed golden fixture (known point targets)
+        import pathlib
+        fixture = (pathlib.Path(__file__).parent.parent / "tests" / "data"
+                   / "point_targets.zbp")
+        z = load_zbp(fixture) if fixture.exists() else synthesize_zbp()
     else:
         z = load_zbp(args.dataset)
 
