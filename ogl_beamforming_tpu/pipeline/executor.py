@@ -275,6 +275,30 @@ class Beamformer:
         """Run the pipeline on already-canonical (C, A, S_wire) data."""
         return self._compute(np.asarray(rf), image_plane_tag, block)
 
+    def warmup(self, block: int = 0) -> Frame:
+        """Compile (and cache) the block's current descriptor by running
+        one zero frame through it.
+
+        First compile of a new configuration can take seconds to minutes
+        (Mosaic); calling this at service start — once per expected
+        configuration — keeps real frames off the compile path.  The zero
+        frame is computed but not counted in the RF-arrival stats.
+        """
+        b = self._block(block)
+        p = b.parameters
+        wire = b.pipeline.data_kind
+        n = p.channel_count * p.acquisition_count * p.sample_count
+        if wire.is_complex and wire.name == "Int16Complex":
+            raw = np.zeros((p.channel_count, 2 * n // p.channel_count),
+                           np.int16)
+        else:
+            dt = {"Int16": np.int16, "Float32": np.float32,
+                  "Float16": np.float16}.get(wire.name.replace("Complex", ""),
+                                             np.float32)
+            mult = 2 if wire.is_complex else 1
+            raw = np.zeros((p.channel_count, mult * n // p.channel_count), dt)
+        return self.push_data_with_compute(raw, block=block)
+
     def _compute(self, rf, image_plane_tag, block) -> Frame:
         b = self._block(block)
         plan = self._ensure_plan(b)

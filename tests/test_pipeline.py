@@ -357,3 +357,33 @@ def test_stage_times_calibrated_not_even(rng):
     times = [t.times[row, i] for i in range(2)]
     assert all(x > 0 for x in times)
     assert abs(times[0] - times[1]) > 1e-9   # calibrated, not even-split
+
+
+def test_warmup_compiles_descriptor(rng):
+    """Beamformer.warmup runs a zero frame through the current descriptor
+    (precompile API for service start; docs/DEPLOYMENT.md)."""
+    from ogl_beamforming_tpu.params.enums import AcquisitionKind
+    from ogl_beamforming_tpu.utils.transforms import das_transform_2d_xz
+
+    pitch = 0.3e-3
+    c, a, s = 8, 4, 256
+    p = Parameters(
+        sample_count=s, channel_count=c, acquisition_count=a,
+        sampling_frequency=20e6, demodulation_frequency=5e6,
+        speed_of_sound=1500.0, f_number=0.8,
+        acquisition_kind=AcquisitionKind.FORCES,
+        interpolation_mode=InterpolationMode.Linear,
+        das_voxel_transform=das_transform_2d_xz([0, 1e-3],
+                                                [(c - 1) * pitch, 8e-3]),
+        xdc_element_pitch=np.array([pitch, pitch], np.float32),
+        output_points=np.array([12, 16, 1, 0], np.int32))
+    bf = Beamformer(voxel_block=128)
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    frame = bf.warmup()
+    assert frame.output_points == (12, 16, 1)
+    assert np.all(np.asarray(frame.data) == 0)      # zero in, zero out
+    # the real first frame now hits the compiled plan and carries signal
+    raw = rng.integers(-512, 512, (c, a * s)).astype(np.int16)
+    frame = bf.push_data_with_compute(raw)
+    assert np.abs(np.asarray(frame.data)).max() > 0
