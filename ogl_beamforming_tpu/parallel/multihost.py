@@ -56,9 +56,22 @@ def make_host_mesh(channel_axis: str = CHANNEL_AXIS,
 
     n_proc = jax.process_count()
     n_local = jax.local_device_count()
+    # Host-major order without assuming anything about global device ids:
+    # JAX guarantees neither contiguity nor alignment of d.id across
+    # processes, so sort by (process, id) and fill slots positionally.
+    ordered = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
     devs = np.empty((n_proc, n_local), dtype=object)
-    for d in jax.devices():
-        devs[d.process_index, d.id % n_local] = d
+    counts = np.zeros(n_proc, dtype=int)
+    for d in ordered:
+        p = d.process_index
+        if not 0 <= p < n_proc or counts[p] >= n_local:
+            raise RuntimeError(
+                f"device {d} breaks the homogeneous-pod assumption "
+                f"({n_proc} processes x {n_local} local devices)")
+        devs[p, counts[p]] = d
+        counts[p] += 1
+    if not (counts == n_local).all():
+        raise RuntimeError(f"uneven devices per process: {counts.tolist()}")
     grid = devs.reshape(-1)          # host-major flat order
     if slab_axis is None:
         return Mesh(grid, (channel_axis,))
@@ -66,13 +79,23 @@ def make_host_mesh(channel_axis: str = CHANNEL_AXIS,
     if total % slab_devices:
         raise ValueError(f"{total} devices not divisible into "
                          f"{slab_devices} slabs")
+    # A channel shard's slab replicas must stay on one host or feed_rf's
+    # no-cross-host-copy contract breaks: the local device count must tile
+    # into whole slab groups.
+    if n_local % slab_devices:
+        raise ValueError(
+            f"slab_devices={slab_devices} must divide the local device "
+            f"count {n_local}: a channel shard's slab group may not span "
+            f"hosts")
     return Mesh(grid.reshape(total // slab_devices, slab_devices),
                 (channel_axis, slab_axis))
 
 
-def local_channel_slice(channel_count: int, mesh=None) -> slice:
+def local_channel_slice(channel_count: int) -> slice:
     """The global channel rows this host's feeder owns: the contiguous
-    block matching the host-major mesh order of :func:`make_host_mesh`."""
+    block matching the host-major mesh order of :func:`make_host_mesh`.
+    Valid only for meshes built by :func:`make_host_mesh` (host-major
+    channel axis); a differently-ordered mesh needs its own slicing."""
     import jax
     n_proc = jax.process_count()
     if channel_count % n_proc:

@@ -528,6 +528,21 @@ class LiveView:
                 self.wfile.write(body)
 
             def do_GET(self):
+                try:
+                    self._get()
+                except BrokenPipeError:
+                    pass
+                except (ValueError, KeyError, ZeroDivisionError) as e:
+                    # malformed query values must yield a 4xx, not a
+                    # dropped connection with a server-side traceback
+                    self._send(400, "text/plain",
+                               f"bad request: {e}".encode())
+
+            @staticmethod
+            def _int(q, key, default, lo, hi):
+                return min(hi, max(lo, int(q.get(key, default))))
+
+            def _get(self):
                 url = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 if url.path == "/":
@@ -552,7 +567,7 @@ class LiveView:
                                  float(q.get("oz", 0))],
                         yaw=float(q.get("yaw", 0.6)),
                         pitch=float(q.get("pitch", 0.45)),
-                        size=int(q.get("size", 512)),
+                        size=self._int(q, "size", 512, 16, 512),
                         db_cutoff=float(q.get("db", -60)),
                         gamma=float(q.get("gamma", 1.0)))
                     self._send(200, "image/png", png)
@@ -560,7 +575,7 @@ class LiveView:
                     png = view.mip_png(
                         yaw=float(q.get("yaw", 0.6)),
                         pitch=float(q.get("pitch", 0.45)),
-                        size=int(q.get("size", 256)),
+                        size=self._int(q, "size", 256, 16, 512),
                         db_cutoff=float(q.get("db", -60)),
                         gamma=float(q.get("gamma", 1.0)))
                     self._send(200, "image/png", png)
@@ -572,7 +587,7 @@ class LiveView:
                         normal=[float(q.get("nx", 0)),
                                 float(q.get("ny", 0)),
                                 float(q.get("nz", 1))],
-                        size=int(q.get("size", 256)),
+                        size=self._int(q, "size", 256, 16, 512),
                         db_cutoff=float(q.get("db", -60)),
                         gamma=float(q.get("gamma", 1.0)))
                     self._send(200, "image/png", png)
@@ -599,6 +614,15 @@ class LiveView:
                     self._send(404, "text/plain", b"not found")
 
             def do_POST(self):
+                try:
+                    self._post()
+                except BrokenPipeError:
+                    pass
+                except (ValueError, KeyError, TypeError) as e:
+                    self._send(400, "text/plain",
+                               f"bad request: {e}".encode())
+
+            def _post(self):
                 path = urlparse(self.path).path
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")

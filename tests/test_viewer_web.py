@@ -197,3 +197,23 @@ def test_panels_page(view):
     for marker in ("splitLeaf", "closeTab", "tabbar", "divider",
                    "Compute Stats", "X-Plane", "Parameters"):
         assert marker in page
+
+
+def test_bad_request_returns_400(view):
+    # malformed query values must produce a 4xx, not a dropped connection
+    # (ADVICE r2: size=0 divided by zero server-side)
+    import urllib.error
+    for path in ("frame.png?db=nan-garbage", "mip.png?size=abc",
+                 "oblique.png?nx=zz"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(view.url + path)
+        assert ei.value.code == 400
+
+
+def test_size_clamped(view):
+    # size clamps to the 16..512 range instead of dividing by zero
+    # (or hogging the single-core VM with a huge render)
+    status, ctype, body = _get(view.url + "mip.png?size=0")
+    assert status == 200 and body.startswith(b"\x89PNG")
+    status, ctype, body = _get(view.url + "oblique.png?size=99999")
+    assert status == 200 and body.startswith(b"\x89PNG")
