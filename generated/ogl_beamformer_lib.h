@@ -60,6 +60,7 @@ typedef enum {
 typedef enum {
 	BeamformerDecodeMode_None = 0,
 	BeamformerDecodeMode_Hadamard = 1,
+	BeamformerDecodeMode_Walsh = 2,
 	BeamformerDecodeMode_Count,
 } BeamformerDecodeMode;
 

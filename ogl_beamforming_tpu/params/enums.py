@@ -65,10 +65,14 @@ class DataKind(enum.IntEnum):
 
 
 class DecodeMode(enum.IntEnum):
-    """Reference: generated/beamformer.c:27-31."""
+    """Reference: generated/beamformer.c:27-31, plus the Walsh
+    (sequency-ordered Hadamard) mode of the zemp_bp container
+    (external/zemp_bp.h:33-38) that the reference runtime drops —
+    a strict superset, existing values unchanged."""
 
     NoDecode = 0
     Hadamard = 1
+    Walsh = 2
 
 
 class RCAOrientation(enum.IntEnum):

@@ -229,12 +229,16 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
             dyn[f"taps{i}"] = jnp.asarray(f.taps)
         elif sd.kind == ShaderKind.Decode:
             try:
-                h = hadamard(parameters.acquisition_count)
+                if parameters.decode_mode == DecodeMode.Walsh:
+                    from ..utils.hadamard import walsh
+                    h = walsh(parameters.acquisition_count)
+                else:
+                    h = hadamard(parameters.acquisition_count)
             except ValueError as e:
                 raise BeamformerError(
                     ErrorKind.InvalidComputeStage,
                     f"Hadamard decode needs a supported order "
-                    f"(2^k, 12*2^k, 20*2^k): {e}")
+                    f"(2^k, 12*2^k, 20*2^k; Walsh: 2^k only): {e}")
             dyn[f"hadamard{i}"] = jnp.asarray(h, jnp.float32)
     dyn["sampling_frequency"] = jnp.float32(parameters.sampling_frequency)
     dyn["demodulation_frequency"] = jnp.float32(

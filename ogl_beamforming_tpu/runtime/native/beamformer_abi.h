@@ -76,7 +76,7 @@ typedef enum {
 	BeamformerAcquisitionKind_Count,
 } BeamformerAcquisitionKind;
 
-typedef enum { BeamformerDecodeMode_None = 0, BeamformerDecodeMode_Hadamard = 1 } BeamformerDecodeMode;
+typedef enum { BeamformerDecodeMode_None = 0, BeamformerDecodeMode_Hadamard = 1, BeamformerDecodeMode_Walsh = 2 } BeamformerDecodeMode;
 typedef enum { BeamformerSamplingMode_2X = 0, BeamformerSamplingMode_4X = 1 } BeamformerSamplingMode;
 typedef enum { BeamformerContrastMode_None = 0, BeamformerContrastMode_A1S2 = 1 } BeamformerContrastMode;
 typedef enum { BeamformerEmissionKind_Sine = 0, BeamformerEmissionKind_Chirp = 1 } BeamformerEmissionKind;

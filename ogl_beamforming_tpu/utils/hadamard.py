@@ -105,3 +105,22 @@ def hadamard(dim: int, dtype=np.float32) -> np.ndarray:
     """Row-major (untransposed) Hadamard matrix: the ``row_major=True`` path
     of the reference (math.c:127-131), used by the matmul decode."""
     return np.ascontiguousarray(hadamard_transpose(dim, dtype).T)
+
+
+def walsh(dim: int, dtype=np.float32) -> np.ndarray:
+    """Sequency-ordered (Walsh) Hadamard matrix of order ``dim``.
+
+    The Sylvester rows re-sorted by sequency (number of sign changes per
+    row) — the ``ZBP_DecodeMode_Walsh`` encoding of the zemp_bp container
+    (reference: external/zemp_bp.h:33-38; the reference runtime itself has
+    no Walsh decode — generated/beamformer.c:27-31 — so this exceeds it).
+    Only Sylvester orders (powers of two) have a standard sequency
+    ordering; 12/20-seeded orders raise.
+    """
+    if not (dim > 0 and (dim & (dim - 1)) == 0):
+        raise ValueError(f"Walsh (sequency) ordering needs a power-of-two "
+                         f"order, got {dim}")
+    h = _sylvester(dim)
+    sequency = (np.diff(h, axis=1) != 0).sum(axis=1)
+    return np.ascontiguousarray(h[np.argsort(sequency, kind="stable")],
+                                dtype=dtype)

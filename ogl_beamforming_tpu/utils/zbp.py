@@ -62,6 +62,18 @@ class ZbpFile:
         return self.receive_event_count
 
 
+def _decode_mode(value: int) -> DecodeMode:
+    """Map a zemp decode mode explicitly (external/zemp_bp.h:33-38):
+    None/Hadamard pass through, Walsh (2) is supported natively
+    (utils/hadamard.walsh); anything else is rejected rather than
+    silently clamped."""
+    try:
+        return DecodeMode(value)
+    except ValueError:
+        raise ValueError(f"unsupported zbp decode mode {value} "
+                         f"(known: 0=None, 1=Hadamard, 2=Walsh)")
+
+
 def _read_struct(buf, offset, fmt):
     size = struct.calcsize(fmt)
     return struct.unpack_from(fmt, buf, offset), offset + size
@@ -100,7 +112,7 @@ def _load_v1(buf) -> ZbpFile:
         version=(1, version),
         raw_data_dimension=(rd0, rd1, rd2, rd3),
         data_kind=DataKind.Int16,
-        decode_mode=DecodeMode(min(decode_mode, 1)),
+        decode_mode=_decode_mode(decode_mode),
         sampling_mode=0,
         sampling_frequency=fs, demodulation_frequency=fdemod,
         speed_of_sound=sos,
@@ -143,7 +155,7 @@ def _load_v2(buf) -> ZbpFile:
         version=(major, minor),
         raw_data_dimension=(rd0, rd1, rd2, rd3),
         data_kind=DataKind(raw_data_kind),
-        decode_mode=DecodeMode(min(decode_mode, 1)),
+        decode_mode=_decode_mode(decode_mode),
         sampling_mode=sampling_mode,
         sampling_frequency=fs, demodulation_frequency=fdemod,
         speed_of_sound=sos,

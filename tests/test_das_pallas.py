@@ -175,3 +175,24 @@ def test_autotune_api(rng, tmp_path):
     dp_mod.TUNED.clear()
     dp_mod._das_call.cache_clear()
     das_jit.clear_cache()
+
+
+def test_hero_pa(rng):
+    # HERO_PA dispatches onto the HERCULES path (das.glsl:390); direct
+    # coverage so the alias cannot silently regress
+    p = _params(8, 4, 256, (8, 8, 12), AcquisitionKind.HERO_PA,
+                transmit_receive_orientation=pack_tx_rx_orientation(
+                    RCAOrientation.Rows, RCAOrientation.Columns),
+                transmit_angle=3.0, focus_depth=np.inf,
+                interpolation_mode=InterpolationMode.Linear)
+    ref, out = _run(np.random.default_rng(1234), p)
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+    # alias equivalence: identical setup under HERCULES matches exactly
+    p2 = _params(8, 4, 256, (8, 8, 12), AcquisitionKind.HERCULES,
+                 transmit_receive_orientation=pack_tx_rx_orientation(
+                     RCAOrientation.Rows, RCAOrientation.Columns),
+                 transmit_angle=3.0, focus_depth=np.inf,
+                 interpolation_mode=InterpolationMode.Linear)
+    ref2, _ = _run(np.random.default_rng(1234), p2)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(ref2))

@@ -40,3 +40,31 @@ def test_kronecker_structure():
     h12 = hadamard_transpose(12)
     s2 = np.array([[1, 1], [1, -1]], np.float32)
     np.testing.assert_array_equal(h24, np.kron(s2, h12))
+
+
+def test_walsh_sequency_ordering():
+    from ogl_beamforming_tpu.utils.hadamard import walsh
+    for n in (2, 4, 8, 16, 64):
+        w = walsh(n)
+        # orthogonal (it is a row permutation of the Sylvester matrix)
+        np.testing.assert_allclose(w @ w.T, n * np.eye(n))
+        # rows sorted by sequency 0..n-1
+        seq = (np.diff(w, axis=1) != 0).sum(axis=1)
+        np.testing.assert_array_equal(seq, np.arange(n))
+
+
+def test_walsh_rejects_non_power_of_two():
+    from ogl_beamforming_tpu.utils.hadamard import walsh
+    for n in (12, 20, 24, 0, -4):
+        with pytest.raises(ValueError):
+            walsh(n)
+
+
+def test_walsh_decode_inverts_walsh_encode(rng):
+    from ogl_beamforming_tpu.utils.hadamard import walsh
+    n = 8
+    w = walsh(n)
+    x = rng.standard_normal((n, 33)).astype(np.float32)
+    encoded = w @ x
+    decoded = (w.T @ encoded) / n
+    np.testing.assert_allclose(decoded, x, atol=1e-5)
