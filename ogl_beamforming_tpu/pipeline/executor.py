@@ -113,7 +113,9 @@ class Beamformer:
         # pipelined sessions (one per parameter block) record frames from
         # concurrent worker threads.
         self._frame_lock = threading.RLock()
-        self._fraction_cache: dict = {}
+        # Number of stage-time calibrations run (one per plan rebuild);
+        # exposed so tests can assert traced-parameter edits re-calibrate.
+        self.calibration_count = 0
 
     # ------------------------------------------------------------------
     # Parameter configuration
@@ -225,14 +227,18 @@ class Beamformer:
         return b._plan
 
     def _stage_fractions(self, plan: CompiledPlan, rf) -> list[float]:
-        """Per-stage share of frame time, calibrated once per *descriptor*
-        by running each stage's individually-jitted fn with readback-forced
-        timing.  Keyed on the descriptor (like the stage fns themselves):
-        parameter edits rebuild the CompiledPlan object but reuse the
-        calibration."""
-        cached = self._fraction_cache.get(plan.descriptor)
+        """Per-stage share of frame time, calibrated once per *plan* by
+        running each stage's individually-jitted fn with readback-forced
+        timing.  Cached on the CompiledPlan object, NOT the descriptor:
+        traced values (f-number, speed of sound, transforms) change stage
+        cost without changing the descriptor, and any parameter push
+        rebuilds the plan — so every traced edit re-calibrates, the fused
+        analogue of the reference re-timing each dispatch
+        (beamformer_core.c:1602-1628)."""
+        cached = getattr(plan, "_stage_fraction_cache", None)
         if cached is not None:
             return cached
+        self.calibration_count += 1
         n_stages = max(len(plan.descriptor.stages), 1)
         try:
             times = []
@@ -247,7 +253,7 @@ class Beamformer:
             fractions = [t / total for t in times]
         except Exception:               # calibration must never break compute
             fractions = [1.0 / n_stages] * n_stages
-        self._fraction_cache[plan.descriptor] = fractions
+        plan._stage_fraction_cache = fractions
         return fractions
 
     def push_data_with_compute(self, data: np.ndarray,

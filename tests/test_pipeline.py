@@ -387,3 +387,23 @@ def test_warmup_compiles_descriptor(rng):
     raw = rng.integers(-512, 512, (c, a * s)).astype(np.int16)
     frame = bf.push_data_with_compute(raw)
     assert np.abs(np.asarray(frame.data)).max() > 0
+
+
+def test_traced_edit_recalibrates_stage_times(rng):
+    """VERDICT r2 Weak #4: changing a *traced* value (f-number) without
+    changing the descriptor must re-run the stage-time calibration — the
+    per-stage split may not stay frozen at the old proportions."""
+    c, a, s = 8, 4, 256
+    bf = Beamformer(voxel_block=128)
+    bf.push_parameters(_make_params(c, a, s))
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    raw = rng.integers(-512, 512, (c, a * s)).astype(np.int16)
+    bf.push_data_with_compute(raw)
+    assert bf.calibration_count == 1
+    bf.push_data_with_compute(raw)
+    assert bf.calibration_count == 1      # same plan: cached
+
+    p2 = _make_params(c, a, s, f_number=1.6)
+    bf.push_parameters(p2)                # descriptor unchanged, traced only
+    bf.push_data_with_compute(raw)
+    assert bf.calibration_count == 2      # re-calibrated for the new plan
