@@ -51,8 +51,10 @@
 static int futex_wait(_Atomic u32 *addr, u32 expect, i32 timeout_ms)
 {
 	u32 cmp = expect;
-	if (!WaitOnAddress((volatile void *)addr, &cmp, sizeof(u32),
-	                   timeout_ms < 0 ? 0xFFFFFFFFu : (u32)timeout_ms))
+	/* INFINITE is the documented no-timeout sentinel; do not rely on it
+	 * happening to equal (u32)-1 */
+	u32 timeout = timeout_ms < 0 ? INFINITE : (u32)timeout_ms;
+	if (!WaitOnAddress((volatile void *)addr, &cmp, sizeof(u32), timeout))
 		return -1;            /* timeout (GetLastError()==ERROR_TIMEOUT) */
 	return 0;
 }
@@ -70,9 +72,18 @@ static void *os_shm_map(const char *name, u64 *size_out)
 	void *mem = MapViewOfFile(h, FILE_MAP_ALL_ACCESS, 0, 0, 0);
 	CloseHandle(h);           /* view keeps the mapping alive */
 	if (!mem) return 0;
+	/* A single VirtualQuery RegionSize only covers pages with identical
+	 * attributes from the queried base, which can under-report the view;
+	 * walk every region belonging to this view's allocation and sum. */
+	u64 total = 0;
+	u8 *cursor = (u8 *)mem;
 	MEMORY_BASIC_INFORMATION info;
-	VirtualQuery(mem, &info, sizeof(info));
-	*size_out = (u64)info.RegionSize;
+	while (VirtualQuery(cursor, &info, sizeof(info)) == sizeof(info) &&
+	       info.AllocationBase == mem && info.State != MEM_FREE) {
+		total  += (u64)info.RegionSize;
+		cursor += info.RegionSize;
+	}
+	*size_out = total;
 	return mem;
 }
 

@@ -36,6 +36,8 @@ typedef struct {
 #define INVALID_HANDLE_VALUE ((HANDLE)(intptr_t)-1)
 #define PAGE_READWRITE       0x04
 #define FILE_MAP_ALL_ACCESS  0x000F001F
+#define INFINITE             0xFFFFFFFFu
+#define MEM_FREE             0x10000
 
 BOOL   WaitOnAddress(volatile void *Address, void *CompareAddress,
                      SIZE_T AddressSize, DWORD dwMilliseconds);
