@@ -50,6 +50,37 @@ def encode_png_gray(img: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _crop_resample(img: np.ndarray, region, out: int) -> np.ndarray:
+    """Bilinear crop-and-resample of a (rows, cols) [0,1] image to the
+    fractional view region (x0, y0, x1, y1); the zoomed frame-view sampling
+    of ui.c:1113-1150 (the GL path samples the texture linearly too)."""
+    x0, y0, x1, y1 = region
+    x0, x1 = sorted((min(max(x0, 0.0), 1.0), min(max(x1, 0.0), 1.0)))
+    y0, y1 = sorted((min(max(y0, 0.0), 1.0), min(max(y1, 0.0), 1.0)))
+    if x1 - x0 < 1e-3:
+        x1 = min(x0 + 1e-3, 1.0)
+    if y1 - y0 < 1e-3:
+        y1 = min(y0 + 1e-3, 1.0)
+    h, w = img.shape
+    aspect = ((y1 - y0) * h) / max((x1 - x0) * w, 1e-9)
+    if aspect >= 1.0:
+        oh, ow = out, max(int(round(out / aspect)), 1)
+    else:
+        oh, ow = max(int(round(out * aspect)), 1), out
+    ys = y0 * (h - 1) + (y1 - y0) * (h - 1) * np.linspace(0, 1, oh)
+    xs = x0 * (w - 1) + (x1 - x0) * (w - 1) * np.linspace(0, 1, ow)
+    yi = np.clip(ys.astype(np.int32), 0, h - 2)
+    xi = np.clip(xs.astype(np.int32), 0, w - 2)
+    fy = (ys - yi)[:, None]
+    fx = (xs - xi)[None, :]
+    a = img[yi][:, xi]
+    b = img[yi][:, xi + 1]
+    c = img[yi + 1][:, xi]
+    d = img[yi + 1][:, xi + 1]
+    return (a * (1 - fy) * (1 - fx) + b * (1 - fy) * fx
+            + c * fy * (1 - fx) + d * fy * fx).astype(np.float32)
+
+
 _PAGE = """<!doctype html>
 <html><head><title>ogl_beamforming_tpu</title>
 <style>
@@ -63,7 +94,14 @@ _PAGE = """<!doctype html>
 <h3>ogl_beamforming_tpu &mdash; live view (<a href="/xplane" style="color:#6af">3D x-plane</a> | <a href="/panels" style="color:#6af">panels</a>)</h3>
 <div class="row">
  <div>
-  <img id="frame" width="512"/>
+  <div id="wrap" style="position:relative; display:inline-block;">
+   <img id="frame" width="512" draggable="false"
+        style="cursor:crosshair; user-select:none;"/>
+   <canvas id="overlay" width="512" height="512"
+     style="position:absolute; left:0; top:0; pointer-events:none;"></canvas>
+  </div>
+  <div style="font-size:11px; color:#888;">wheel: zoom &middot; drag: pan
+   &middot; dblclick: reset &middot; shift-click: A-scan line</div>
   <label>dB cutoff <input id="db" type="range" min="-100" max="-10"
     value="-60"/> <span id="dbv">-60</span></label>
   <label>gamma <input id="gamma" type="range" min="20" max="300"
@@ -77,17 +115,92 @@ _PAGE = """<!doctype html>
   <label>transmit power <input id="power" type="range" min="0" max="100"
     value="50"/></label>
   <button id="stop">stop imaging</button>
+  <h4>A-scan</h4>
+  <canvas id="ascan" width="280" height="160"
+    style="border:1px solid #444;"></canvas>
+  <div id="ascaninfo" style="font-size:11px; color:#888;"></div>
  </div>
 </div>
 <script>
 const db = document.getElementById('db'), gamma = document.getElementById('gamma');
 const plane = document.getElementById('plane');
+const img = document.getElementById('frame');
+const overlay = document.getElementById('overlay');
+let view = {x0:0, y0:0, x1:1, y1:1};      // fractional pan/zoom region
+let meta = null, ascanFrac = null;
+let dragging = false, lastX = 0, lastY = 0, moved = false;
+function fw() { return view.x1 - view.x0; }
+function fh() { return view.y1 - view.y0; }
+function clampView() {
+  view.x0 = Math.max(0, Math.min(view.x0, 1 - 1e-3));
+  view.y0 = Math.max(0, Math.min(view.y0, 1 - 1e-3));
+  view.x1 = Math.max(view.x0 + 1e-3, Math.min(view.x1, 1));
+  view.y1 = Math.max(view.y0 + 1e-3, Math.min(view.y1, 1));
+}
+function drawRulers() {
+  const ctx = overlay.getContext('2d');
+  overlay.width = img.clientWidth || 512;
+  overlay.height = img.clientHeight || 512;
+  ctx.clearRect(0, 0, overlay.width, overlay.height);
+  if (!meta) return;
+  ctx.font = '10px monospace';
+  ctx.fillStyle = '#8f8'; ctx.strokeStyle = '#8f8';
+  const lat = meta.lat_mm, ax = meta.ax_mm;
+  for (let i = 0; i <= 5; i++) {          // lateral ruler (top)
+    const f = i / 5, x = f * overlay.width;
+    const mm = lat[0] + (view.x0 + f * fw()) * (lat[1] - lat[0]);
+    ctx.beginPath(); ctx.moveTo(x, 0); ctx.lineTo(x, 6); ctx.stroke();
+    if (i < 5) ctx.fillText(mm.toFixed(1), x + 2, 14);
+  }
+  for (let i = 0; i <= 5; i++) {          // axial ruler (left)
+    const f = i / 5, y = f * overlay.height;
+    const mm = ax[0] + (view.y0 + f * fh()) * (ax[1] - ax[0]);
+    ctx.beginPath(); ctx.moveTo(0, y); ctx.lineTo(6, y); ctx.stroke();
+    if (i < 5) ctx.fillText(mm.toFixed(1), 8, y + 10);
+  }
+  if (ascanFrac !== null) {               // A-scan line marker
+    const fx = (ascanFrac - view.x0) / fw();
+    if (fx >= 0 && fx <= 1) {
+      ctx.strokeStyle = '#fa4';
+      ctx.beginPath();
+      ctx.moveTo(fx * overlay.width, 0);
+      ctx.lineTo(fx * overlay.width, overlay.height);
+      ctx.stroke();
+    }
+  }
+}
+async function drawAscan() {
+  if (ascanFrac === null) return;
+  const a = await (await fetch(`/ascan.json?frac=${ascanFrac}` +
+                               `&plane=${plane.value}`)).json();
+  const c = document.getElementById('ascan'), ctx = c.getContext('2d');
+  ctx.clearRect(0, 0, c.width, c.height);
+  ctx.strokeStyle = '#fa4'; ctx.beginPath();
+  a.values.forEach((v, i) => {
+    const x = i / (a.values.length - 1) * c.width;
+    const y = c.height - v * (c.height - 4) - 2;
+    i ? ctx.lineTo(x, y) : ctx.moveTo(x, y);
+  });
+  ctx.stroke();
+  document.getElementById('ascaninfo').textContent =
+    `lateral index ${a.lateral_index}, peak ${a.peak.toExponential(2)}, ` +
+    `axial ${a.ax_mm[0].toFixed(1)}..${a.ax_mm[a.ax_mm.length-1].toFixed(1)} mm`;
+}
+function frameSrc() {
+  return `/frame.png?db=${db.value}&gamma=${gamma.value/100}` +
+    `&plane=${plane.value}&x0=${view.x0}&y0=${view.y0}` +
+    `&x1=${view.x1}&y1=${view.y1}&out=512&t=${Date.now()}`;
+}
 async function refresh() {
   document.getElementById('dbv').textContent = db.value;
   document.getElementById('gv').textContent = (gamma.value/100).toFixed(2);
-  const img = document.getElementById('frame');
-  img.src = `/frame.png?db=${db.value}&gamma=${gamma.value/100}` +
-            `&plane=${plane.value}&t=${Date.now()}`;
+  img.src = frameSrc();
+  if (!meta) {
+    try { meta = await (await fetch(`/frame_meta.json?plane=` +
+                                    plane.value)).json(); } catch (e) {}
+  }
+  drawRulers();
+  drawAscan();
   const st = await (await fetch('/stats.json')).json();
   const el = document.getElementById('stats');
   el.innerHTML = '<table>' + st.stages.map(s =>
@@ -98,6 +211,44 @@ async function refresh() {
     `<tr><td>rf delta</td><td>${st.rf_delta_ms.toFixed(2)} ms</td></tr>` +
     '</table>';
 }
+img.addEventListener('wheel', (e) => {
+  e.preventDefault();
+  const r = img.getBoundingClientRect();
+  const fx = view.x0 + (e.clientX - r.left) / r.width * fw();
+  const fy = view.y0 + (e.clientY - r.top) / r.height * fh();
+  const k = e.deltaY < 0 ? 0.8 : 1.25;
+  view.x0 = fx - (fx - view.x0) * k;  view.x1 = fx + (view.x1 - fx) * k;
+  view.y0 = fy - (fy - view.y0) * k;  view.y1 = fy + (view.y1 - fy) * k;
+  if (fw() > 1 || fh() > 1) view = {x0:0, y0:0, x1:1, y1:1};
+  clampView(); img.src = frameSrc(); drawRulers();
+});
+img.onmousedown = (e) => { dragging = true; moved = false;
+                           lastX = e.clientX; lastY = e.clientY;
+                           e.preventDefault(); };
+window.addEventListener('mousemove', (e) => {
+  if (!dragging) return;
+  const r = img.getBoundingClientRect();
+  const dx = (e.clientX - lastX) / r.width * fw();
+  const dy = (e.clientY - lastY) / r.height * fh();
+  if (Math.abs(e.clientX - lastX) + Math.abs(e.clientY - lastY) > 2)
+    moved = true;
+  lastX = e.clientX; lastY = e.clientY;
+  view.x0 -= dx; view.x1 -= dx; view.y0 -= dy; view.y1 -= dy;
+  clampView(); drawRulers();
+});
+window.addEventListener('mouseup', (e) => {
+  if (!dragging) return;
+  dragging = false;
+  if (moved) { img.src = frameSrc(); drawRulers(); return; }
+  if (e.shiftKey || e.target === img) {
+    const r = img.getBoundingClientRect();
+    ascanFrac = view.x0 + (e.clientX - r.left) / r.width * fw();
+    drawRulers(); drawAscan();
+  }
+});
+img.ondblclick = () => { view = {x0:0, y0:0, x1:1, y1:1};
+                         img.src = frameSrc(); drawRulers(); };
+plane.onchange = () => { meta = null; refresh(); };
 setInterval(refresh, 500); refresh();
 document.getElementById('power').onchange = (e) =>
   fetch('/live', {method:'POST', body:JSON.stringify(
@@ -400,13 +551,69 @@ class LiveView:
 
     # -- data accessors (also used by tests) ----------------------------
 
-    def frame_png(self, db_cutoff=-60.0, gamma=1.0, plane="xz") -> bytes:
+    def frame_png(self, db_cutoff=-60.0, gamma=1.0, plane="xz",
+                  x0=0.0, y0=0.0, x1=1.0, y1=1.0, out=0) -> bytes:
+        """Frame view with pan/zoom: renders the fractional sub-region
+        [x0,x1) x [y0,y1) (x = lateral, y = axial) resampled to ``out``
+        pixels on the long side (ui.c:1113-1150 view-region zoom)."""
         frames = self.beamformer.get_last_frames(1)
         if not frames:
             return encode_png_gray(np.zeros((16, 16), np.uint8))
         img = bmode_image(frames[-1], plane=plane, db_cutoff=db_cutoff,
                           gamma=gamma)
+        region = (float(x0), float(y0), float(x1), float(y1))
+        if region != (0.0, 0.0, 1.0, 1.0) or out:
+            img = _crop_resample(img, region, int(out) or 512)
         return encode_png_gray(img)
+
+    def frame_meta_json(self, plane="xz") -> dict:
+        """World-coordinate extents of the frame view's axes, for rulers.
+
+        Maps the voxel-cube corners through das_voxel_transform and reports
+        the dominant world component along each image axis (in mm)."""
+        p = self.beamformer._block(0).parameters
+        vt = np.asarray(p.das_voxel_transform, np.float64)
+        nx, ny, nz = (int(v) for v in p.output_points[:3])
+
+        def world(px, py, pz):
+            return (vt @ np.array([px, py, pz, 1.0]))[:3]
+
+        w00 = world(0, 0, 0)
+        if nz > 1 and plane == "xz":       # 3D: x lateral, z axial
+            wlat, wax = world(1, 0, 0), world(0, 0, 1)
+            n_lat, n_ax = nx, nz
+        elif nz > 1 and plane == "yz":
+            wlat, wax = world(0, 1, 0), world(0, 0, 1)
+            n_lat, n_ax = ny, nz
+        else:                              # 2D grids: x lateral, y axial
+            wlat, wax = world(1, 0, 0), world(0, 1, 0)
+            n_lat, n_ax = nx, ny
+        il = int(np.argmax(np.abs(wlat - w00)))
+        ia = int(np.argmax(np.abs(wax - w00)))
+        return {"lat_mm": [w00[il] * 1e3, wlat[il] * 1e3],
+                "ax_mm": [w00[ia] * 1e3, wax[ia] * 1e3],
+                "shape": [n_ax, n_lat]}
+
+    def ascan_json(self, frac=0.5, plane="xz") -> dict:
+        """Axial magnitude line at lateral fraction ``frac`` — the A-scan
+        overlay of the reference's 3D view (render_3d.frag.glsl:98-109),
+        served for the 2D frame views."""
+        frames = self.beamformer.get_last_frames(1)
+        if not frames:
+            return {"values": [], "ax_mm": []}
+        from .utils.transfer import to_host
+        data = to_host(frames[-1].data)
+        if data.ndim == 3:
+            data = data[:, :, 0] if data.shape[2] == 1 \
+                else data[:, data.shape[1] // 2, :]
+        ix = int(round(float(frac) * (data.shape[0] - 1)))
+        vals = np.abs(data[np.clip(ix, 0, data.shape[0] - 1)])
+        meta = self.frame_meta_json(plane)
+        ax = np.linspace(meta["ax_mm"][0], meta["ax_mm"][1], len(vals))
+        peak = float(vals.max()) or 1.0
+        return {"values": (vals / peak).tolist(),
+                "ax_mm": ax.tolist(), "peak": peak,
+                "lateral_index": ix}
 
     def stats_json(self) -> dict:
         from .params.enums import ShaderKind
@@ -551,8 +758,18 @@ class LiveView:
                     png = view.frame_png(
                         db_cutoff=float(q.get("db", -60)),
                         gamma=float(q.get("gamma", 1.0)),
-                        plane=q.get("plane", "xz"))
+                        plane=q.get("plane", "xz"),
+                        x0=float(q.get("x0", 0)), y0=float(q.get("y0", 0)),
+                        x1=float(q.get("x1", 1)), y1=float(q.get("y1", 1)),
+                        out=self._int(q, "out", 0, 0, 1024))
                     self._send(200, "image/png", png)
+                elif url.path == "/frame_meta.json":
+                    self._send(200, "application/json", json.dumps(
+                        view.frame_meta_json(q.get("plane", "xz"))).encode())
+                elif url.path == "/ascan.json":
+                    self._send(200, "application/json", json.dumps(
+                        view.ascan_json(frac=float(q.get("frac", 0.5)),
+                                        plane=q.get("plane", "xz"))).encode())
                 elif url.path == "/stats.json":
                     self._send(200, "application/json",
                                json.dumps(view.stats_json()).encode())

@@ -217,3 +217,37 @@ def test_size_clamped(view):
     assert status == 200 and body.startswith(b"\x89PNG")
     status, ctype, body = _get(view.url + "oblique.png?size=99999")
     assert status == 200 and body.startswith(b"\x89PNG")
+
+
+def test_frame_zoom_region(view):
+    # zoomed region renders and differs from the full view at equal size
+    s0, _, full = _get(view.url + "frame.png?out=128")
+    s1, _, zoom = _get(view.url +
+                       "frame.png?x0=0.25&y0=0.25&x1=0.75&y1=0.75&out=128")
+    assert s0 == 200 and s1 == 200
+    assert full.startswith(b"\x89PNG") and zoom.startswith(b"\x89PNG")
+    assert full != zoom
+
+
+def test_frame_meta_rulers(view):
+    # world extents for rulers match the fixture's das_voxel_transform
+    status, _, body = _get(view.url + "frame_meta.json")
+    meta = json.loads(body)
+    assert status == 200
+    np.testing.assert_allclose(meta["lat_mm"], [0.0, 7 * 0.3], atol=1e-6)
+    np.testing.assert_allclose(meta["ax_mm"], [1.0, 8.0], atol=1e-6)
+    assert meta["shape"] == [16, 12]
+
+
+def test_ascan_endpoint_matches_viewer(view):
+    # the served A-scan equals viewer.a_scan on the same frame
+    from ogl_beamforming_tpu.viewer import a_scan
+    status, _, body = _get(view.url + "ascan.json?frac=0.5")
+    a = json.loads(body)
+    assert status == 200
+    frame = view.beamformer.get_last_frames(1)[-1]
+    expect = a_scan(frame, a["lateral_index"])
+    got = np.asarray(a["values"]) * a["peak"]
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+    assert a["ax_mm"][0] == pytest.approx(1.0)
+    assert a["ax_mm"][-1] == pytest.approx(8.0)
