@@ -179,20 +179,38 @@ def _apply_m4_tile(m, x, y, z):
 
 
 def _apodize(mask, arg):
-    """cos^2 apodization with compute-and-mask (das.glsl:136-150).
-
-    ``fast_apod`` replaces the transcendental with an even Taylor
-    polynomial for cos(pi*a), exact to ~2.4e-6 over the masked domain
-    a in [0, 0.5) — the VPU cost is 5 fma after u = a^2."""
+    """cos^2 apodization with compute-and-mask (das.glsl:136-150)."""
     a = jnp.where(mask, arg, 0.0)
-    if ABLATE.get("fast_apod"):
-        u = a * a
-        ca = (np.float32(1.0) + u * (np.float32(-4.9348022)
-              + u * (np.float32(4.0587121) + u * (np.float32(-1.3352627)
-              + u * (np.float32(0.23533063)
-              + u * np.float32(-0.025806891))))))
+    ca = jnp.cos(np.float32(np.pi) * a)
+    return jnp.where(mask, ca * ca, 0.0)
+
+
+def _cos_pi_sqrt_u(u):
+    """cos(pi * sqrt(u)) as an even Taylor polynomial in u = a^2 — exact to
+    ~2.4e-6 over u in [0, 0.25) (the masked apodization domain), measured
+    ~1 ms cheaper than the transcendental on the headline config."""
+    return (np.float32(1.0) + u * (np.float32(-4.9348022)
+            + u * (np.float32(4.0587121) + u * (np.float32(-1.3352627)
+            + u * (np.float32(0.23533063)
+            + u * np.float32(-0.025806891))))))
+
+
+def _apodize_u(mask, u):
+    """cos^2 apodization straight from u = arg^2.
+
+    The u-form removes the per-pair abs/divide/sqrt feeding the cosine:
+    every family's apodization argument is fnum * distance / z, so
+    u = fnum^2 * distance^2 * (1/z^2) with (fnum/z)^2 cached per tile —
+    the masked test a < 0.5 becomes u < 0.25.  For HERCULES this also
+    eliminates the per-pair sqrt(d2) (the radial 2D window,
+    das.glsl:262-268), the formulation change that breaks its
+    elementwise-compute floor.  ``exact_apod`` restores the transcendental
+    for A/B."""
+    u = jnp.where(mask, u, 0.0)
+    if ABLATE.get("exact_apod"):
+        ca = jnp.cos(np.float32(np.pi) * jnp.sqrt(u))
     else:
-        ca = jnp.cos(np.float32(np.pi) * a)
+        ca = _cos_pi_sqrt_u(u)
     return jnp.where(mask, ca * ca, 0.0)
 
 
@@ -233,18 +251,21 @@ def _rca_tx_distance_tile(x, y, z, tx_o, angle_deg, depth):
     return jnp.where(tx_o == np.float32(0.0), 0.0, dist)
 
 
-def _forces_rx_terms(st, sc, ch, world):
+def _forces_rx_terms(st, sc, ch, world, f2z=None):
     """Per-(tile, channel) receive terms of FORCES (das.glsl:296-306):
-    cached in scratch across the transmit loop."""
+    cached in scratch across the transmit loop.  ``f2z``: optional cached
+    (fnum/z)^2 tile plane (u-form apodization, no per-pair divide)."""
     x, y, z, in_range = world
     fs, sos, t0, fnum = sc[_SC_FS], sc[_SC_SOS], sc[_SC_T0], sc[_SC_FNUM]
     px = sc[_SC_PX]
     z2 = z * z
+    if f2z is None:
+        f2z = fnum * fnum / z2
     chf = ch.astype(jnp.float32) + sc[_SC_CH0]
     rx_dx = x - chf * px
-    a_arg = jnp.abs(fnum * rx_dx / z)
-    mask = (a_arg < 0.5) & in_range
-    apod_base = _apodize(mask, a_arg)
+    u = rx_dx * rx_dx * f2z
+    mask = (u < 0.25) & in_range
+    apod_base = _apodize_u(mask, u)
     rx_index = (jnp.sqrt(rx_dx * rx_dx + z2) / sos + t0) * fs
     return rx_index, apod_base, mask
 
@@ -277,15 +298,15 @@ def _forces_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
 
 def _hercules_tile_terms(st, sc, xdc_ref, world):
     """Per-tile terms of HERCULES (das.glsl:238-245): XDC-space coordinates,
-    acquisition-0 transmit index, f-number terms — cached in scratch."""
+    acquisition-0 transmit index, (fnum/z)^2 — cached in scratch."""
     wx, wy, wz, _ = world
     fs, sos, t0, fnum = sc[_SC_FS], sc[_SC_SOS], sc[_SC_T0], sc[_SC_FNUM]
     xw, yw, zw = _apply_m4_tile(xdc_ref, wx, wy, wz)
     tx_index0 = (_rca_tx_distance_tile(
         wx, wy, wz, sc[_SC_TX_O], sc[_SC_TX_ANGLE], sc[_SC_TX_DEPTH])
         / sos + t0) * fs
-    fnum_over_z = jnp.abs(fnum / zw)
-    return xw, yw, zw, tx_index0, fnum_over_z
+    foz2 = (fnum * fnum) / (zw * zw)
+    return xw, yw, zw, tx_index0, foz2
 
 
 def _hercules_rx_d2(st, sc, ch, xw, yw):
@@ -312,32 +333,36 @@ def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     _, _, _, in_range = world
     fs, sos = sc[_SC_FS], sc[_SC_SOS]
     if rx_cache is None:
-        xw, yw, zw, tx_index0, fnum_over_z = _hercules_tile_terms(
+        xw, yw, zw, tx_index0, foz2 = _hercules_tile_terms(
             st, sc, xdc_ref, world)
         rx_d2 = _hercules_rx_d2(st, sc, ch, xw, yw)
     else:
-        xw, yw, zw, tx_index0, fnum_over_z, rx_d2 = rx_cache
+        xw, yw, zw, tx_index0, foz2, rx_d2 = rx_cache
     z2 = zw * zw
-    apod_test = 0.25 / (fnum_over_z * fnum_over_z)
     if tx_cache is None:
         tx_d2 = _hercules_tx_d2(sc, t0_ref, acq, xw, yw)
     else:
         tx_d2 = tx_cache
     d2 = rx_d2 + tx_d2
-    mask = (d2 < apod_test) & in_range
-    apod = _apodize(mask, fnum_over_z * jnp.sqrt(d2)) * t1_ref[acq]
+    # u-form: mask d2 < 0.25/foz2 <=> u < 0.25; apodize without the
+    # per-pair sqrt(d2), divide, or cosine (das.glsl:262-268)
+    u = foz2 * d2
+    mask = (u < 0.25) & in_range
+    apod = _apodize_u(mask, u) * t1_ref[acq]
     index = tx_index0 + jnp.sqrt(z2 + d2) * (fs / sos)
     return index, apod, mask
 
 
 def _rca_acq_tx_dist(sc, t0_ref, t1_ref, acq, world):
-    """Per-(tile, acquisition) transmit distance for the RCA family —
-    channel-independent, so the kernel caches it in scratch at ch == 0."""
+    """Per-(tile, acquisition) transmit *index* part for the RCA family —
+    (tx_dist / sos + t0) * fs, channel-independent, so the kernel caches it
+    in scratch at ch == 0 and each pair pays one fma for the full index."""
     wx, wy, wz, _ = world
     packed = t0_ref[2 * acq]
     tx_o = jnp.floor(packed / 16.0)
-    return _rca_tx_distance_tile(wx, wy, wz, tx_o, t0_ref[2 * acq + 1],
+    dist = _rca_tx_distance_tile(wx, wy, wz, tx_o, t0_ref[2 * acq + 1],
                                  t1_ref[acq])
+    return (dist / sc[_SC_SOS] + sc[_SC_T0]) * sc[_SC_FS]
 
 
 def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
@@ -352,8 +377,9 @@ def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     px, py = sc[_SC_PX], sc[_SC_PY]
     if rx_cache is None:
         xw, yw, zw = _apply_m4_tile(xdc_ref, wx, wy, wz)
+        f2z = (fnum * fnum) / (zw * zw)
     else:
-        xw, yw, zw = rx_cache
+        xw, yw, zw, f2z = rx_cache
     packed = t0_ref[2 * acq]
     tx_o = jnp.floor(packed / 16.0)
     rx_o = packed - tx_o * 16.0
@@ -362,16 +388,19 @@ def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     chf = ch.astype(jnp.float32) + sc[_SC_CH0]
     rx_lat = jnp.where(rx_rows, chf * py, chf * px)
     recv_lat = lat - rx_lat
-    a_arg = jnp.abs(fnum * recv_lat / jnp.abs(zw))
-    mask = (a_arg < 0.5) & in_range
-    apod = _apodize(mask, a_arg)
+    r2 = recv_lat * recv_lat
+    # u-form apodization: no per-pair abs/divide/cosine (das.glsl:136-150)
+    u = r2 * f2z
+    mask = (u < 0.25) & in_range
+    apod = _apodize_u(mask, u)
     if tx_cache is None:
-        tx_dist = _rca_tx_distance_tile(wx, wy, wz, tx_o,
-                                        t0_ref[2 * acq + 1], t1_ref[acq])
+        tx_part = (_rca_tx_distance_tile(
+            wx, wy, wz, tx_o, t0_ref[2 * acq + 1], t1_ref[acq])
+            / sos + t0) * fs
     else:
-        tx_dist = tx_cache
-    rlen = jnp.sqrt(recv_lat * recv_lat + zw * zw)
-    index = ((tx_dist + rlen) / sos + t0) * fs
+        tx_part = tx_cache
+    rlen = jnp.sqrt(r2 + zw * zw)
+    index = tx_part + rlen * (fs / sos)
     return index, apod, mask
 
 
@@ -467,8 +496,13 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
         world_ref[1] = wy
         world_ref[2] = wz
         world_ref[3] = win.astype(jnp.float32)
+        if st.family == "forces":
+            # (fnum/z)^2 tile plane for the u-form apodization
+            fnum = scalars_ref[_SC_FNUM]
+            world_ref[4] = (fnum * fnum) / (wz * wz)
 
     world = (world_ref[0], world_ref[1], world_ref[2], world_ref[3] > 0.5)
+    world_f2z = world_ref[4] if st.family == "forces" else None
 
     # Receive terms are a pure function of (tile, channel): cache them in
     # scratch when a new channel begins (the transmit-block dim is innermost
@@ -514,7 +548,9 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
             herc_ref[0] = xw
             herc_ref[1] = yw
             herc_ref[2] = zw
-        rx_cache = (herc_ref[0], herc_ref[1], herc_ref[2])
+            fnum = scalars_ref[_SC_FNUM]
+            herc_ref[3] = (fnum * fnum) / (zw * zw)
+        rx_cache = (herc_ref[0], herc_ref[1], herc_ref[2], herc_ref[3])
 
         # Channels are innermost: cache this block's transmit planes once.
         @pl.when(ch == 0)
@@ -532,18 +568,21 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
             _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                               scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
                               out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
-                              acc_im_ref, world, rx_cache, tx_cached, txc_ref)
+                              acc_im_ref, world, world_f2z, rx_cache,
+                              tx_cached, txc_ref)
     else:
         _das_unit_compute(st, tx_block, ch_block, ch, blk, None, None,
                           scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
                           out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
-                          acc_im_ref, world, rx_cache, tx_cached, txc_ref)
+                          acc_im_ref, world, world_f2z, rx_cache, tx_cached,
+                          txc_ref)
 
 
 def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                       scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
                       out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
-                      acc_im_ref, world, rx_cache, tx_cached, txc_ref):
+                      acc_im_ref, world, world_f2z, rx_cache, tx_cached,
+                      txc_ref):
     s = st.sample_count
     nq = _cdiv(s, CHUNK)
     iq = st.iq
@@ -582,7 +621,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
             if st.family == "forces" and tx_cached:
                 if i not in rx_by_i:
                     rx_by_i[i] = _forces_rx_terms(st, scalars_ref, chv,
-                                                  world)
+                                                  world, f2z=world_f2z)
                 rx_c = rx_by_i[i]
             elif st.family == "hercules" and tx_cached:
                 if i not in rx_by_i:
@@ -1087,7 +1126,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         scratch_shapes=[
             pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc re
             pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc im
-            pltpu.VMEM((4, ts, TILE_LANE), jnp.float32),   # world cache
+            pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # world (+f2z)
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # tile terms
             pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),  # tx planes
         ],
