@@ -72,6 +72,32 @@ ABLATE: dict = {}
 # between ABLATE (explicit override) and the measured family defaults.
 TUNED: dict = {}
 
+_SHIPPED_TUNED_LOADED = False
+
+
+def _load_shipped_tuned():
+    """Load the committed per-preset tuned table (data/tuned_v5e.json,
+    produced by tools/pretune.py on a v5e chip) once, lazily, without
+    overriding entries the user already installed.  First-run performance
+    then equals post-autotune performance (VERDICT r2 #9)."""
+    global _SHIPPED_TUNED_LOADED
+    if _SHIPPED_TUNED_LOADED:
+        return
+    _SHIPPED_TUNED_LOADED = True
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "tuned_v5e.json")
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+    except OSError:
+        return
+    for row in rows:
+        k = row["key"]
+        key = (k[0], k[1], k[2], k[3], k[4], k[5], tuple(k[6]))
+        TUNED.setdefault(key, row["knobs"])
+
 
 def _tune_key(st):
     return (st.family, int(st.interpolation_mode), st.iq,
@@ -82,6 +108,7 @@ def _tune_key(st):
 def _knob(st, name, default):
     if name in ABLATE:
         return ABLATE[name]
+    _load_shipped_tuned()
     t = TUNED.get(_tune_key(st))
     if t is not None and name in t:
         return t[name]

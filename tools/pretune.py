@@ -1,0 +1,85 @@
+"""Pre-tune the Pallas kernels for the preset configurations on this chip.
+
+Run once per device generation (takes a while — each candidate is a fresh
+Mosaic compile):
+
+    PYTHONPATH=/root/.axon_site:. python tools/pretune.py
+
+Writes ogl_beamforming_tpu/data/tuned_v5e.json, which das_pallas loads
+lazily on first use so first-run performance equals post-autotune
+performance.  The reference's analogue is its per-GPU dispatch-layout
+tuning at shader build time (build.c).
+"""
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ogl_beamforming_tpu.models import presets
+    from ogl_beamforming_tpu.ops import das_pallas
+    from ogl_beamforming_tpu.ops.das import make_dynamic, make_static
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+
+    rng = np.random.default_rng(11)
+    out_path = os.path.join(os.path.dirname(__file__), "..",
+                            "ogl_beamforming_tpu", "data", "tuned_v5e.json")
+
+    def das_case(name, rf, dyn, st):
+        print(f"== {name}: tuning", flush=True)
+        best, results = das_pallas.autotune_das(rf, dyn, st, iters=4,
+                                                warmup=1)
+        print(f"   best={best}", flush=True)
+        for k, v in results.items():
+            print(f"   {k}: "
+                  f"{'fail' if v is None else round(v * 1e3, 2)}", flush=True)
+
+    # 1. headline plane-wave (IQ cubic)
+    c, s = 256, 4096
+    p, pipe = presets.plane_wave_2d(channel_count=c, sample_count=s,
+                                    output_points=(512, 1024))
+    plan = build_plan(p, pipe, {})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    st = dataclasses.replace(sd.das, iq=True)
+    re = rng.standard_normal((c, 1, s)).astype(np.float32)
+    im = rng.standard_normal((c, 1, s)).astype(np.float32)
+    rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(jnp.asarray(re),
+                                                     jnp.asarray(im))
+    das_case("plane_wave_headline", rf, plan.dyn["das"], st)
+
+    # 2. FORCES compounding (decode->DAS chain DAS stage)
+    p, pipe = presets.forces_compounding(channel_count=128,
+                                         transmit_count=16,
+                                         sample_count=2048,
+                                         output_points=(256, 512),
+                                         demodulate=False)
+    plan = build_plan(p, pipe, {})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    st = dataclasses.replace(sd.das, iq=False)
+    rf = jnp.asarray(rng.standard_normal((128, 16, 2048)).astype(np.float32))
+    das_case("forces_chain", rf, plan.dyn["das"], st)
+
+    # 3. HERCULES 3D
+    p, pipe = presets.hercules_3d(channel_count=128, acquisition_count=128,
+                                  sample_count=4096,
+                                  output_points=(96, 96, 96))
+    plan = build_plan(p, pipe, {})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    st = dataclasses.replace(sd.das, iq=False)
+    rf = jnp.asarray(rng.standard_normal((128, 128, 4096)).astype(np.float32))
+    das_case("hercules_3d", rf, plan.dyn["das"], st)
+
+    das_pallas.save_tuned(out_path)
+    print(f"saved {out_path} ({len(das_pallas.TUNED)} entries)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
