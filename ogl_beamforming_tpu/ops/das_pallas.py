@@ -222,6 +222,25 @@ def _cos_pi_sqrt_u(u):
             + u * np.float32(-0.025806891))))))
 
 
+def _sincos_2pi(x):
+    """(sin, cos) of 2*pi*x with one shared range reduction; ``x`` in
+    cycles.  Taylor on the reduced interval y in [-pi, pi] (max error
+    ~5e-7) costs ~20 VPU ops for BOTH values, vs ~1 ms of independent
+    transcendentals per frame on the headline config (ablation r3)."""
+    y = np.float32(2 * np.pi) * (x - jnp.round(x))
+    y2 = y * y
+    c = (np.float32(1.0) + y2 * (np.float32(-0.5)
+         + y2 * (np.float32(1 / 24) + y2 * (np.float32(-1 / 720)
+         + y2 * (np.float32(1 / 40320) + y2 * (np.float32(-1 / 3628800)
+         + y2 * (np.float32(1 / 479001600)
+         + y2 * np.float32(-1 / 87178291200))))))))
+    s = y * (np.float32(1.0) + y2 * (np.float32(-1 / 6)
+         + y2 * (np.float32(1 / 120) + y2 * (np.float32(-1 / 5040)
+         + y2 * (np.float32(1 / 362880) + y2 * (np.float32(-1 / 39916800)
+         + y2 * np.float32(1 / 6227020800)))))))
+    return s, c
+
+
 def _apodize_u(mask, u):
     """cos^2 apodization straight from u = arg^2.
 
@@ -746,10 +765,15 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         for slot, i, j, k, tap_w, index in preps:
             if iq and not ABLATE.get("no_rotation"):
                 # rotate the (tile, c, a) contribution once (das.glsl:51-59)
-                arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
-                       * index / scalars_ref[_SC_FS])
-                ph_re = jnp.cos(arg)
-                ph_im = jnp.sin(arg)
+                if ABLATE.get("exact_rot"):
+                    arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
+                           * index / scalars_ref[_SC_FS])
+                    ph_re = jnp.cos(arg)
+                    ph_im = jnp.sin(arg)
+                else:
+                    cycles = (scalars_ref[_SC_FDEMOD]
+                              / scalars_ref[_SC_FS]) * index
+                    ph_im, ph_re = _sincos_2pi(cycles)
                 a_re = acc_re_ref[slot]
                 a_im = acc_im_ref[slot]
                 rot_re = a_re * ph_re - a_im * ph_im
