@@ -195,7 +195,10 @@ def _tile_world_points(st: DasStatic, tile_idx, vt, x_off=None):
     x = vt[0, 0] * px + vt[0, 1] * py + vt[0, 2] * pz + vt[0, 3]
     y = vt[1, 0] * px + vt[1, 1] * py + vt[1, 2] * pz + vt[1, 3]
     z = vt[2, 0] * px + vt[2, 1] * py + vt[2, 2] * pz + vt[2, 3]
-    in_range = (row < n_rows) & (lane < n_lanes)
+    if n_rows % ts == 0 and n_lanes % TILE_LANE == 0:
+        in_range = None          # grid divides the tiles: statically full
+    else:
+        in_range = (row < n_rows) & (lane < n_lanes)
     return x, y, z, in_range
 
 
@@ -310,7 +313,7 @@ def _forces_rx_terms(st, sc, ch, world, f2z=None):
     chf = ch.astype(jnp.float32) + sc[_SC_CH0]
     rx_dx = x - chf * px
     u = rx_dx * rx_dx * f2z
-    mask = (u < 0.25) & in_range
+    mask = (u < 0.25) if in_range is None else ((u < 0.25) & in_range)
     apod_base = _apodize_u(mask, u)
     rx_index = (jnp.sqrt(rx_dx * rx_dx + z2) / sos + t0) * fs
     return rx_index, apod_base, mask
@@ -393,7 +396,7 @@ def _hercules_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     # u-form: mask d2 < 0.25/foz2 <=> u < 0.25; apodize without the
     # per-pair sqrt(d2), divide, or cosine (das.glsl:262-268)
     u = foz2 * d2
-    mask = (u < 0.25) & in_range
+    mask = (u < 0.25) if in_range is None else ((u < 0.25) & in_range)
     apod = _apodize_u(mask, u) * t1_ref[acq]
     index = tx_index0 + jnp.sqrt(z2 + d2) * (fs / sos)
     return index, apod, mask
@@ -437,7 +440,7 @@ def _rca_delay(st, sc, t0_ref, t1_ref, xdc_ref, ch, acq, world,
     r2 = recv_lat * recv_lat
     # u-form apodization: no per-pair abs/divide/cosine (das.glsl:136-150)
     u = r2 * f2z
-    mask = (u < 0.25) & in_range
+    mask = (u < 0.25) if in_range is None else ((u < 0.25) & in_range)
     apod = _apodize_u(mask, u)
     if tx_cache is None:
         tx_part = (_rca_tx_distance_tile(
@@ -541,13 +544,17 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
         world_ref[0] = wx
         world_ref[1] = wy
         world_ref[2] = wz
-        world_ref[3] = win.astype(jnp.float32)
+        if win is not None:
+            world_ref[3] = win.astype(jnp.float32)
         if st.family == "forces":
             # (fnum/z)^2 tile plane for the u-form apodization
             fnum = scalars_ref[_SC_FNUM]
             world_ref[4] = (fnum * fnum) / (wz * wz)
 
-    world = (world_ref[0], world_ref[1], world_ref[2], world_ref[3] > 0.5)
+    n_rows, n_lanes = _axes(st)
+    full = (n_rows % _tile_rows(st) == 0 and n_lanes % TILE_LANE == 0)
+    world = (world_ref[0], world_ref[1], world_ref[2],
+             None if full else (world_ref[3] > 0.5))
     world_f2z = world_ref[4] if st.family == "forces" else None
 
     # Receive terms are a pure function of (tile, channel): cache them in

@@ -196,3 +196,13 @@ def test_hero_pa(rng):
                  interpolation_mode=InterpolationMode.Linear)
     ref2, _ = _run(np.random.default_rng(1234), p2)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(ref2))
+
+
+def test_forces_full_tiles(rng):
+    # output grid that divides the (16, 128) tiles exactly: exercises the
+    # statically-full in_range elision path
+    p = _params(8, 4, 256, (128, 32, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Linear)
+    ref, out = _run(rng, p)
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
