@@ -24,24 +24,32 @@ def main():
 
     def make(variant):
         def kernel(src_ref, idx_ref, out_ref):
+            # 8 independent accumulator chains: throughput, not latency
             src = src_ref[:]
             idx = idx_ref[:]
-            acc = jnp.zeros((ROWS, LANE), jnp.float32)
+            accs = [jnp.zeros((ROWS, LANE), jnp.float32) for _ in range(8)]
             for r in range(REPS):
                 ix = idx + (r & 3)
                 if variant == "clip":
                     ix = jnp.clip(ix, 0, LANE - 1)
                 elif variant == "mod":
                     ix = ix & (LANE - 1)
-                acc = acc + jnp.take_along_axis(src, ix, axis=-1)
+                accs[r & 7] = accs[r & 7] + jnp.take_along_axis(src, ix,
+                                                               axis=-1)
+            acc = accs[0]
+            for a in accs[1:]:
+                acc = acc + a
             out_ref[:] = acc
 
         def kernel_fma(src_ref, idx_ref, out_ref):
             src = src_ref[:]
             idx = idx_ref[:].astype(jnp.float32)
-            acc = jnp.zeros((ROWS, LANE), jnp.float32)
+            accs = [jnp.zeros((ROWS, LANE), jnp.float32) for _ in range(8)]
             for r in range(REPS):
-                acc = acc + src * (idx + r)
+                accs[r & 7] = accs[r & 7] + src * (idx + r)
+            acc = accs[0]
+            for a in accs[1:]:
+                acc = acc + a
             out_ref[:] = acc
 
         k = kernel_fma if variant == "fma" else kernel

@@ -1121,7 +1121,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     # Transmit blocking: process up to 4 transmits per grid step (amortizes
     # world points, output traffic, and grid overhead).
-    tx_block = min(4, n_acq_grid)
+    tx_block = min(_knob(st, "tx_block", 4), n_acq_grid)
     n_blocks = _cdiv(n_acq_grid, tx_block)
     a_pad = n_blocks * tx_block
 
@@ -1312,7 +1312,7 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
 
     # Pad per-transmit tables to the blocked grid extent with zero weights
     # (padded transmits contribute nothing).
-    tx_block = min(4, n_grid)
+    tx_block = min(_knob(st, "tx_block", 4), n_grid)
     a_pad = _cdiv(n_grid, tx_block) * tx_block
     extra = a_pad - n_grid
     if extra:
