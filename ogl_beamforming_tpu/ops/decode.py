@@ -247,7 +247,7 @@ def autotune_decode(rf, hadamard, candidates=None, iters: int = 50,
 
     if candidates is None:
         candidates = [{}, {"i8": 1}, {"i8": 0}, {"cb": 8}, {"cb": 16},
-                      {"i8": 1, "cb": 16}]
+                      {"i8": 1, "cb": 16}, {"bs": 1024}, {"pipe": 0}]
     results = {}
     best, best_t = None, float("inf")
     saved = dict(DECODE_ABLATE)
