@@ -461,10 +461,22 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 # Shared kernel
 # ---------------------------------------------------------------------------
 
+def _pack_iq(st: DasStatic) -> bool:
+    """IQ RF as one int16-pair word per sample (re<<16 | im&0xFFFF, scaled
+    to each (channel, acquisition) line's peak, carried bitcast-as-f32):
+    ONE lane-gather per interpolation tap instead of two.  Gathers are 55%
+    of the headline kernel (floor_split r3) and issue at ~3.2 cyc/vreg —
+    the unpack (2 shifts + 2 converts) rides the superscalar VPU slots that
+    are otherwise idle during gathers.  Quantization error is ~3e-5 NRMSE
+    (int16 against the line peak), well inside the 1e-3 golden contract;
+    ``pack_iq=0`` restores exact f32 planes."""
+    return bool(_knob(st, "pack_iq", 1)) and st.iq
+
+
 def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
                 n_blocks: int,
                 scalars_ref, t0_ref, t1_ref, act_ref, qlo_ref, qhi_ref,
-                qblo_ref, qbhi_ref,
+                qblo_ref, qbhi_ref, lsc_ref,
                 vt_ref, xdc_ref, rf_ref, out_re_ref,
                 out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
                 herc_ref, txc_ref):
@@ -521,14 +533,16 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
     def _active_body():
         _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first,
                        qmin, qmax,
-                       scalars_ref, t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref,
+                       scalars_ref, t0_ref, t1_ref, lsc_ref, vt_ref,
+                       xdc_ref, rf_ref,
                        out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
                        acc_im_ref, world_ref, herc_ref, txc_ref)
 
 
 def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
                    scalars_ref,
-                   t0_ref, t1_ref, vt_ref, xdc_ref, rf_ref, out_re_ref,
+                   t0_ref, t1_ref, lsc_ref, vt_ref, xdc_ref, rf_ref,
+                   out_re_ref,
                    out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
                    herc_ref, txc_ref):
     s = st.sample_count
@@ -619,20 +633,22 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
         @pl.when(qb_lo <= qb_hi)
         def _():
             _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
-                              scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
+                              scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref,
+                              rf_ref,
                               out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
                               acc_im_ref, world, world_f2z, rx_cache,
                               tx_cached, txc_ref)
     else:
         _das_unit_compute(st, tx_block, ch_block, ch, blk, None, None,
-                          scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
+                          scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref,
+                          rf_ref,
                           out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
                           acc_im_ref, world, world_f2z, rx_cache, tx_cached,
                           txc_ref)
 
 
 def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
-                      scalars_ref, t0_ref, t1_ref, xdc_ref, rf_ref,
+                      scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref, rf_ref,
                       out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
                       acc_im_ref, world, world_f2z, rx_cache, tx_cached,
                       txc_ref):
@@ -643,6 +659,13 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     sum_re = jnp.zeros((ts, TILE_LANE), jnp.float32)
     sum_im = jnp.zeros((ts, TILE_LANE), jnp.float32)
     sum_in = jnp.zeros((ts, TILE_LANE), jnp.float32)
+    if ABLATE.get("no_unit"):      # floor ablation: grid+world+output only
+        out_re_ref[:] += sum_re
+        if iq:
+            out_im_ref[:] += sum_im
+        if st.coherency_weighting:
+            out_in_ref[:] += sum_in
+        return
 
     # ch_block channels per grid step: amortizes per-step fixed costs
     # (grid bookkeeping, output/accumulator traffic, branch overhead) over
@@ -703,6 +726,9 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                 taps = _interp_weights(st, t)
 
             w_mask = apod * valid.astype(jnp.float32)
+            if _pack_iq(st):
+                # fold the line's int16 dequant scale into the pair weight
+                w_mask = w_mask * lsc_ref[chv, acq]
             if qb_lo is not None:
                 qmin, qmax = qb_lo, qb_hi
             else:   # share == 1: in-kernel reduction bounds
@@ -725,7 +751,8 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         # Static chunk loop, predicated per *group* of chunks: branches run
         # on the scalar core, so group them and share each predicate region
         # across the batch.
-        for g0 in range(0, nq, group):
+        for g0 in range(0, nq, group) if not ABLATE.get("no_chunk_loop") \
+                else ():
             g1 = min(g0 + group, nq)
             cond = (g1 - 1 >= qmin) & (g0 <= qmax)
             if any_active is not None:
@@ -740,6 +767,28 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                     a_im = acc_im_ref[slot] if iq else None
                     for q in range(g0, g1):
                         base = q * CHUNK
+                        if _pack_iq(st):
+                            # one plane of int16-pair words bitcast as f32:
+                            # ONE gather per tap; unpack = 2 shifts + 2
+                            # converts on otherwise-idle VPU slots.
+                            src_pk = jnp.broadcast_to(
+                                rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
+                                    1, CHUNK), (ts, CHUNK))
+                            for off, wt in tap_w:
+                                r = k + off - base
+                                sel = r.astype(jnp.uint32) < CHUNK
+                                rc = r if ABLATE.get("noclip") else \
+                                    jnp.clip(r, 0, CHUNK - 1)
+                                wsel = jnp.where(sel, wt, 0.0)
+                                g = src_pk if ABLATE.get("no_gather") else \
+                                    jnp.take_along_axis(src_pk, rc, axis=-1)
+                                v = jax.lax.bitcast_convert_type(
+                                    g, jnp.int32)
+                                a_re = a_re + wsel * (
+                                    v >> 16).astype(jnp.float32)
+                                a_im = a_im + wsel * (
+                                    (v << 16) >> 16).astype(jnp.float32)
+                            continue
                         # block layout (CB, TB, planes, S): 0=re, 1=im
                         src_re = jnp.broadcast_to(
                             rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
@@ -805,12 +854,15 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         out_in_ref[:] += sum_in
 
 
+_TXB = {"hercules": 16, "forces": 8, "rca": 4}   # measured r3 defaults
+
+
 def _pred_share(st, default: int = 8) -> int:
     """Pairs sharing one chunk-group predicate region.  Default: the whole
     grid step (ch_block x tx_block pairs) — one scalar branch serves every
-    gather of the step (capped at 32: larger single regions were not
-    measured and risk spills)."""
-    return max(1, int(_knob(st, "pred_share", min(default, 32))))
+    gather of the step (capped at 128: HERCULES measured monotone 32 -> 64
+    -> 128 = 543 -> 519 -> 507 ms; beyond 128 unmeasured)."""
+    return max(1, int(_knob(st, "pred_share", min(default, 128))))
 
 
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
@@ -1119,9 +1171,12 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     s_pad = _cdiv(s, CHUNK) * CHUNK
     a = n_rf_acq
 
-    # Transmit blocking: process up to 4 transmits per grid step (amortizes
-    # world points, output traffic, and grid overhead).
-    tx_block = min(_knob(st, "tx_block", 4), n_acq_grid)
+    # Transmit blocking: transmits per grid step (amortizes world points,
+    # output traffic, and grid overhead).  With whole-step predicate
+    # sharing, bigger blocks keep winning on multi-transmit configs (r3:
+    # HERCULES 96^3 856 -> 507 ms at 16, FORCES-big 16.3 -> 13.7 ms at 8).
+    tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)),
+                   n_acq_grid)
     n_blocks = _cdiv(n_acq_grid, tx_block)
     a_pad = n_blocks * tx_block
 
@@ -1139,7 +1194,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     # NOTE: last two block dims must equal the array dims (or be (8,128)
     # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
-    rf_block = ((ch_block, tx_block, 2, s_pad) if st.iq
+    packed = _pack_iq(st)
+    rf_block = ((ch_block, tx_block, 2, s_pad) if st.iq and not packed
                 else (ch_block, tx_block, 1, s_pad))
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
                                n_cb_bounds, n_blocks)
@@ -1170,9 +1226,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     n_slots = min(_pred_share(st, ch_block * tx_block),
                   ch_block * tx_block)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,    # scalars, geometry tables, tile flags,
+        num_scalar_prefetch=9,    # scalars, geometry tables, tile flags,
                                   # per-(tile, ch-unit) + per-(tile,
-                                  # tx-block) chunk bounds
+                                  # tx-block) chunk bounds, line scales
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # voxel transform (4,4)
@@ -1211,22 +1267,40 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             # READI: grid transmit index e maps to rf acquisition e % A —
             # materialize the tiled layout so block specs stay trivial.
             rf_used = jnp.tile(rf_used, (1, g_repeat, 1))
-        if st.iq:
+        if st.iq and packed:
+            # int16-pair packing: re<<16 | im&0xFFFF against the line peak,
+            # bitcast to f32 so the block layout/dtype stays unchanged.
+            rf_re = jnp.real(rf_used)
+            rf_im = jnp.imag(rf_used)
+            peak = jnp.maximum(jnp.max(jnp.abs(rf_re), axis=-1),
+                               jnp.max(jnp.abs(rf_im), axis=-1))
+            qz = jnp.where(peak > 0, np.float32(32767.0) / peak, 0.0)
+            lsc = jnp.where(peak > 0, peak / np.float32(32767.0), 0.0)
+            ri = jnp.round(rf_re * qz[..., None]).astype(jnp.int32)
+            ii = jnp.round(rf_im * qz[..., None]).astype(jnp.int32)
+            words = (ri << 16) | (ii & np.int32(0xFFFF))
+            rf_planes = jax.lax.bitcast_convert_type(
+                words, jnp.float32)[:, :, None, :]
+        elif st.iq:
             rf_planes = jnp.stack(
                 [jnp.real(rf_used), jnp.imag(rf_used)], axis=2)
+            lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
         else:
             rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
+            lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
         pad_a = a_pad - rf_planes.shape[1]
         pad_c = c_pad - rf_planes.shape[0]
         if s_pad != s or pad_a or pad_c:
             # Zero-padded channels/transmits gather zeros -> contribute 0.
             rf_planes = jnp.pad(
                 rf_planes, ((0, pad_c), (0, pad_a), (0, 0), (0, s_pad - s)))
+        if pad_a or pad_c:
+            lsc = jnp.pad(lsc, ((0, pad_c), (0, pad_a)))
         act, qlo, qhi, qblo, qbhi = _tile_activity(
             st, scalars, t0_arr, t1_arr, vt, xdc, n_acq_grid,
             n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block)
         out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
-                                    qblo, qbhi, vt, xdc, rf_planes)
+                                    qblo, qbhi, lsc, vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
 
         def trim(o):
@@ -1312,7 +1386,7 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
 
     # Pad per-transmit tables to the blocked grid extent with zero weights
     # (padded transmits contribute nothing).
-    tx_block = min(_knob(st, "tx_block", 4), n_grid)
+    tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)), n_grid)
     a_pad = _cdiv(n_grid, tx_block) * tx_block
     extra = a_pad - n_grid
     if extra:
