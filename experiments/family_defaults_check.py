@@ -49,8 +49,8 @@ def main():
     measure("chain_das_new", {}, cp, cpipe)
     measure("chain_das_txb4", {"tx_block": 4}, cp, cpipe)
 
-    up, upipe = uforces_volumetric()
-    measure("uforces3d_new", {}, up, upipe, iters=2)
+    up, upipe, _se = uforces_volumetric()
+    measure("uforces3d_txb8", {"tx_block": 8}, up, upipe, iters=2)
     measure("uforces3d_txb4", {"tx_block": 4}, up, upipe, iters=2)
     das_pallas.ABLATE.clear()
     das_pallas._das_call.cache_clear()

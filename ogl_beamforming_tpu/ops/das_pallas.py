@@ -513,19 +513,25 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
     if not ABLATE.get("no_bounds"):
-        # Prefetched conservative chunk bounds for this (tile, ch-unit):
-        # pure scalar reads, no vector->scalar reduction stall.  Inactive
-        # units encode (nq, -1) so all chunk groups predicate false.
-        qmin = qlo_ref[tile * n_cb + ch]
-        qmax = qhi_ref[tile * n_cb + ch]
-        if n_blocks > 1 and not ABLATE.get("no_blk_bounds"):
-            # Intersect with per-(tile, acquisition-block) bounds: the
-            # ch-unit bounds union over ALL transmits, but each block's
-            # transmit elements cover a narrow delay interval (measured
-            # 0.61x executed chunks on HERCULES 3D,
-            # experiments/herc_bounds_stats.py).
-            qmin = jnp.maximum(qmin, qblo_ref[tile * n_blocks + blk])
-            qmax = jnp.minimum(qmax, qbhi_ref[tile * n_blocks + blk])
+        # Prefetched conservative chunk bounds for this (tile, ch-unit),
+        # one per row group (_row_halves): pure scalar reads, no
+        # vector->scalar reduction stall.  Inactive units encode (nq, -1)
+        # so all chunk groups predicate false.
+        H = _row_halves(st)
+        qmin, qmax = [], []
+        for h in range(H):
+            lo = qlo_ref[(tile * n_cb + ch) * H + h]
+            hi = qhi_ref[(tile * n_cb + ch) * H + h]
+            if n_blocks > 1 and not ABLATE.get("no_blk_bounds"):
+                # Intersect with per-(tile, acquisition-block) bounds: the
+                # ch-unit bounds union over ALL transmits, but each block's
+                # transmit elements cover a narrow delay interval (measured
+                # 0.61x executed chunks on HERCULES 3D,
+                # experiments/herc_bounds_stats.py).
+                lo = jnp.maximum(lo, qblo_ref[tile * n_blocks + blk])
+                hi = jnp.minimum(hi, qbhi_ref[tile * n_blocks + blk])
+            qmin.append(lo)
+            qmax.append(hi)
     else:
         qmin = qmax = None
 
@@ -629,8 +635,13 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
 
     if qb_lo is not None:
         # RCA: chunk bounds are prefetched per (tile, ch-unit); skip the
-        # whole unit (delay math included) when its bounds are empty.
-        @pl.when(qb_lo <= qb_hi)
+        # whole unit (delay math included) when its union bounds are empty.
+        u_lo, u_hi = qb_lo[0], qb_hi[0]
+        for h in range(1, len(qb_lo)):
+            u_lo = jnp.minimum(u_lo, qb_lo[h])
+            u_hi = jnp.maximum(u_hi, qb_hi[h])
+
+        @pl.when(u_lo <= u_hi)
         def _():
             _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                               scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref,
@@ -689,7 +700,15 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         batch = pairs[b0:b0 + share]
         preps = []
         any_active = None
-        qmin = qmax = None
+        if qb_lo is not None:
+            h_bounds = list(zip(qb_lo, qb_hi))
+            qmin, qmax = qb_lo[0], qb_hi[0]     # union over row groups
+            for hlo, hhi in h_bounds[1:]:
+                qmin = jnp.minimum(qmin, hlo)
+                qmax = jnp.maximum(qmax, hhi)
+        else:
+            h_bounds = None
+            qmin = qmax = None
         rx_by_i = {}          # forces: rx terms shared by a channel's pairs
         for slot, (i, j) in enumerate(batch):
             chv = ch * ch_block + i if ch_block > 1 else ch
@@ -729,9 +748,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
             if _pack_iq(st):
                 # fold the line's int16 dequant scale into the pair weight
                 w_mask = w_mask * lsc_ref[chv, acq]
-            if qb_lo is not None:
-                qmin, qmax = qb_lo, qb_hi
-            else:   # share == 1: in-kernel reduction bounds
+            if qb_lo is None:   # share == 1: in-kernel reduction bounds
                 min_off = min(off for off, _ in taps)
                 max_off = max(off for off, _ in taps)
                 active = valid & mask
@@ -751,6 +768,68 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         # Static chunk loop, predicated per *group* of chunks: branches run
         # on the scalar core, so group them and share each predicate region
         # across the batch.
+        def chunk_body(sub, hgt, g0, g1):
+            """Gather/accumulate chunks [g0, g1) into acc rows ``sub``."""
+            for slot, i, j, k, tap_w, _ in preps:
+                a_re = acc_re_ref[slot, sub]
+                a_im = acc_im_ref[slot, sub] if iq else None
+                k_s = k[sub]
+                tw = [(off, wt[sub]) for off, wt in tap_w]
+                for q in range(g0, g1):
+                    base = q * CHUNK
+                    if _pack_iq(st):
+                        # one plane of int16-pair words bitcast as f32:
+                        # ONE gather per tap; unpack = 2 shifts + 2
+                        # converts on otherwise-idle VPU slots.
+                        src_pk = jnp.broadcast_to(
+                            rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
+                                1, CHUNK), (hgt, CHUNK))
+                        for off, wt in tw:
+                            r = k_s + off - base
+                            sel = r.astype(jnp.uint32) < CHUNK
+                            rc = r if ABLATE.get("noclip") else \
+                                jnp.clip(r, 0, CHUNK - 1)
+                            wsel = jnp.where(sel, wt, 0.0)
+                            g = src_pk if ABLATE.get("no_gather") else \
+                                jnp.take_along_axis(src_pk, rc, axis=-1)
+                            v = jax.lax.bitcast_convert_type(
+                                g, jnp.int32)
+                            a_re = a_re + wsel * (
+                                v >> 16).astype(jnp.float32)
+                            a_im = a_im + wsel * (
+                                (v << 16) >> 16).astype(jnp.float32)
+                        continue
+                    # block layout (CB, TB, planes, S): 0=re, 1=im
+                    src_re = jnp.broadcast_to(
+                        rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
+                            1, CHUNK), (hgt, CHUNK))
+                    if iq:
+                        src_im = jnp.broadcast_to(
+                            rf_ref[i, j, 1:2, base:base + CHUNK].reshape(
+                                1, CHUNK), (hgt, CHUNK))
+                    for off, wt in tw:
+                        r = k_s + off - base
+                        # one unsigned compare: negative r wraps high
+                        sel = r.astype(jnp.uint32) < CHUNK
+                        rc = r if ABLATE.get("noclip") else \
+                            jnp.clip(r, 0, CHUNK - 1)
+                        wsel = jnp.where(sel, wt, 0.0)
+                        if ABLATE.get("no_gather"):
+                            a_re = a_re + wsel * src_re
+                            if iq:
+                                a_im = a_im + wsel * src_im
+                            continue
+                        a_re = a_re + wsel * jnp.take_along_axis(
+                            src_re, rc, axis=-1)
+                        if iq:
+                            a_im = a_im + wsel * jnp.take_along_axis(
+                                src_im, rc, axis=-1)
+                acc_re_ref[slot, sub] = a_re
+                if iq:
+                    acc_im_ref[slot, sub] = a_im
+
+        n_h = len(h_bounds) if h_bounds is not None else 1
+        hs = ts // n_h
         for g0 in range(0, nq, group) if not ABLATE.get("no_chunk_loop") \
                 else ():
             g1 = min(g0 + group, nq)
@@ -761,62 +840,21 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                 cond = (ch >= 0)
 
             @pl.when(cond)
-            def _(g0=g0, g1=g1, preps=preps):
-                for slot, i, j, k, tap_w, _ in preps:
-                    a_re = acc_re_ref[slot]
-                    a_im = acc_im_ref[slot] if iq else None
-                    for q in range(g0, g1):
-                        base = q * CHUNK
-                        if _pack_iq(st):
-                            # one plane of int16-pair words bitcast as f32:
-                            # ONE gather per tap; unpack = 2 shifts + 2
-                            # converts on otherwise-idle VPU slots.
-                            src_pk = jnp.broadcast_to(
-                                rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
-                                    1, CHUNK), (ts, CHUNK))
-                            for off, wt in tap_w:
-                                r = k + off - base
-                                sel = r.astype(jnp.uint32) < CHUNK
-                                rc = r if ABLATE.get("noclip") else \
-                                    jnp.clip(r, 0, CHUNK - 1)
-                                wsel = jnp.where(sel, wt, 0.0)
-                                g = src_pk if ABLATE.get("no_gather") else \
-                                    jnp.take_along_axis(src_pk, rc, axis=-1)
-                                v = jax.lax.bitcast_convert_type(
-                                    g, jnp.int32)
-                                a_re = a_re + wsel * (
-                                    v >> 16).astype(jnp.float32)
-                                a_im = a_im + wsel * (
-                                    (v << 16) >> 16).astype(jnp.float32)
-                            continue
-                        # block layout (CB, TB, planes, S): 0=re, 1=im
-                        src_re = jnp.broadcast_to(
-                            rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
-                                1, CHUNK), (ts, CHUNK))
-                        if iq:
-                            src_im = jnp.broadcast_to(
-                                rf_ref[i, j, 1:2, base:base + CHUNK].reshape(
-                                    1, CHUNK), (ts, CHUNK))
-                        for off, wt in tap_w:
-                            r = k + off - base
-                            # one unsigned compare: negative r wraps high
-                            sel = r.astype(jnp.uint32) < CHUNK
-                            rc = r if ABLATE.get("noclip") else \
-                                jnp.clip(r, 0, CHUNK - 1)
-                            wsel = jnp.where(sel, wt, 0.0)
-                            if ABLATE.get("no_gather"):
-                                a_re = a_re + wsel * src_re
-                                if iq:
-                                    a_im = a_im + wsel * src_im
-                                continue
-                            a_re = a_re + wsel * jnp.take_along_axis(
-                                src_re, rc, axis=-1)
-                            if iq:
-                                a_im = a_im + wsel * jnp.take_along_axis(
-                                    src_im, rc, axis=-1)
-                    acc_re_ref[slot] = a_re
-                    if iq:
-                        acc_im_ref[slot] = a_im
+            def _(g0=g0, g1=g1):
+                if n_h == 1:
+                    chunk_body(slice(None), ts, g0, g1)
+                else:
+                    # Nested per-row-group regions: the outer (union)
+                    # branch count stays as before; inner branches only
+                    # run on executed chunks, and a chunk touched by one
+                    # row group does half the gather/accumulate work.
+                    for h in range(n_h):
+                        hlo, hhi = h_bounds[h]
+
+                        @pl.when((g1 - 1 >= hlo) & (g0 <= hhi))
+                        def _(h=h, g0=g0, g1=g1):
+                            chunk_body(slice(h * hs, (h + 1) * hs), hs,
+                                       g0, g1)
 
         for slot, i, j, k, tap_w, index in preps:
             if iq and not ABLATE.get("no_rotation"):
@@ -854,7 +892,11 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         out_in_ref[:] += sum_in
 
 
-_TXB = {"hercules": 16, "forces": 8, "rca": 4}   # measured r3 defaults
+# Measured r3 defaults.  forces stays at 4: tx_block=8 wins on the big
+# 512x1024 grid (16.3 -> 13.7 ms) but loses on the 256x512 chain config
+# (13.5 -> 14.9 ms) — the autotune candidates cover 8, and the shipped
+# tuned tables pick it up per preset.
+_TXB = {"hercules": 16, "forces": 4, "rca": 4}
 
 
 def _pred_share(st, default: int = 8) -> int:
@@ -863,6 +905,25 @@ def _pred_share(st, default: int = 8) -> int:
     gather of the step (capped at 128: HERCULES measured monotone 32 -> 64
     -> 128 = 543 -> 519 -> 507 ms; beyond 128 unmeasured)."""
     return max(1, int(_knob(st, "pred_share", min(default, 128))))
+
+
+def _row_halves(st) -> int:
+    """Axial sub-tile bound granularity: the chunk-bound tables carry H
+    row-groups per (tile, channel-unit); the kernel nests per-group
+    predicate regions inside the union region, so a chunk touched by only
+    one row half does half the gather/accumulate work.  The row axis pays
+    the delay *slope* (~1 chunk per 16 rows on the BASELINE grid), which
+    the union bounds charge to every executed chunk.  H must keep the row
+    slice sublane-aligned ((ts/H) % 8 == 0).  Default 2 for HERCULES only
+    (measured 505 -> 478 ms on the 96^3 volume; headline/forces neutral —
+    their per-half bounds quantize to the same chunks, so the nesting only
+    adds branches); the autotune candidates cover both settings."""
+    ts = _tile_rows(st)
+    default = 2 if (st.family == "hercules" and ts % 16 == 0) else 1
+    h = int(_knob(st, "row_halves", default))
+    while h > 1 and (ts % h != 0 or (ts // h) % 8 != 0):
+        h -= 1
+    return max(1, h)
 
 
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
@@ -874,7 +935,7 @@ def _act_margin():
 
 def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
                    n_grid: int, n_cb: int = 1, ch_block: int = 1,
-                   tx_block: int = 4):
+                   tx_block: int = 4, halves: int = 1):
     """Per-tile activity flags + per-(tile, channel-unit) and
     per-(tile, acquisition-block) chunk bounds.
 
@@ -949,6 +1010,21 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
             np.float32(-1)).astype(jnp.int32)
         return ql, qh
 
+    def unit_tables(kmin, kmax):
+        """(n_cb, rows, lanes) index intervals -> activity flags +
+        per-(tile, ch-unit, row-group) chunk bounds in prefetch layout
+        ``[(tile * n_cb + cu) * halves + h]``."""
+        km = kmin.reshape(n_cb, rt, halves, ts_q // halves, zt,
+                          TILE_LANE).min(axis=(3, 5))
+        kM = kmax.reshape(n_cb, rt, halves, ts_q // halves, zt,
+                          TILE_LANE).max(axis=(3, 5))
+        ql, qh = quant(km, kM)
+        on = jnp.isfinite(kM)
+        act = on.any(axis=(0, 2))
+        return (act.reshape(-1).astype(jnp.int32),
+                ql.transpose(1, 3, 0, 2).reshape(-1),
+                qh.transpose(1, 3, 0, 2).reshape(-1))
+
     def block_tables(per_block_intervals):
         """Stack per-(tile, transmit-block) bounds into the prefetch
         layout ``[tile * n_blocks + b]`` from (imin, imax, ok) tuples."""
@@ -999,13 +1075,8 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         imin = tx_index0 + jnp.sqrt(zw2 + d2min) * (fs / sos)
         imax = tx_index0 + jnp.sqrt(zw2 + d2max) * (fs / sos)
         ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
-        kmin = jnp.where(ok, imin, np.inf)
-        kmax = jnp.where(ok, imax, -np.inf)
-        kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
-        kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
-        qlo, qhi = quant(kmin_t, kmax_t)
-        unit_on = jnp.isfinite(kmax_t)
-        act = unit_on.any(axis=0)
+        act, qlo, qhi = unit_tables(jnp.where(ok, imin, np.inf),
+                                    jnp.where(ok, imax, -np.inf))
 
         # per-(tile, transmit-block): full-channel rx interval + the
         # block's transmit-element interval
@@ -1031,9 +1102,7 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
                         & (imin_b <= s_hi))
                 yield imin_b, imax_b, ok_b
         qblo, qbhi = block_tables(herc_blocks())
-        return (act.reshape(-1).astype(jnp.int32),
-                qlo.transpose(1, 2, 0).reshape(-1),
-                qhi.transpose(1, 2, 0).reshape(-1), qblo, qbhi)
+        return act, qlo, qhi, qblo, qbhi
 
     if st.family == "forces":
         # Per-(tile, 8-channel-unit) bounds: rx distance over the unit's
@@ -1059,13 +1128,8 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         imin = rx_min + tx_min
         imax = rx_max + tx_max
         ok = cone & in_range & (imax >= s_lo) & (imin <= s_hi)
-        kmin = jnp.where(ok, imin, np.inf)
-        kmax = jnp.where(ok, imax, -np.inf)
-        kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
-        kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
-        qlo, qhi = quant(kmin_t, kmax_t)
-        unit_on = jnp.isfinite(kmax_t)
-        act = unit_on.any(axis=0)
+        act, qlo, qhi = unit_tables(jnp.where(ok, imin, np.inf),
+                                    jnp.where(ok, imax, -np.inf))
 
         # per-(tile, transmit-block): rx over the full channel interval
         # (separable index = rx + tx), tx over the block's element range
@@ -1089,9 +1153,7 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
                         & (imin_b <= s_hi))
                 yield imin_b, imax_b, ok_b
         qblo, qbhi = block_tables(forces_blocks())
-        return (act.reshape(-1).astype(jnp.int32),
-                qlo.transpose(1, 2, 0).reshape(-1),
-                qhi.transpose(1, 2, 0).reshape(-1), qblo, qbhi)
+        return act, qlo, qhi, qblo, qbhi
     else:   # rca — also computes per-(tile, channel-unit) chunk bounds
         xw = xdc[0, 0] * x + xdc[0, 1] * y + xdc[0, 2] * z + xdc[0, 3]
         yw = xdc[1, 0] * x + xdc[1, 1] * y + xdc[1, 2] * z + xdc[1, 3]
@@ -1141,19 +1203,12 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
                     kmaxb[b], kM)
                 okb_any[b] = ok_f if okb_any[b] is None else (okb_any[b]
                                                               | ok_f)
-        # tile-reduce -> (n_cb, rt, zt), then [tile * n_cb + cu] order
-        kmin_t = kmin.reshape(n_cb, rt, ts, zt, TILE_LANE).min(axis=(2, 4))
-        kmax_t = kmax.reshape(n_cb, rt, ts, zt, TILE_LANE).max(axis=(2, 4))
-        qlo, qhi = quant(kmin_t, kmax_t)
-        unit_on = jnp.isfinite(kmax_t)
-        act = unit_on.any(axis=0)
+        act, qlo, qhi = unit_tables(kmin, kmax)
         qblo, qbhi = block_tables(
             (kminb[b], kmaxb[b], okb_any[b]) for b in range(n_blocks)
         ) if n_blocks > 1 else (jnp.zeros(1, jnp.int32),
                                 jnp.zeros(1, jnp.int32))
-        return (act.reshape(-1).astype(jnp.int32),
-                qlo.transpose(1, 2, 0).reshape(-1),
-                qhi.transpose(1, 2, 0).reshape(-1), qblo, qbhi)
+        return act, qlo, qhi, qblo, qbhi
 
 
 @functools.lru_cache(maxsize=64)
@@ -1298,7 +1353,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             lsc = jnp.pad(lsc, ((0, pad_c), (0, pad_a)))
         act, qlo, qhi, qblo, qbhi = _tile_activity(
             st, scalars, t0_arr, t1_arr, vt, xdc, n_acq_grid,
-            n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block)
+            n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block,
+            halves=_row_halves(st))
         out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
                                     qblo, qbhi, lsc, vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
@@ -1416,12 +1472,13 @@ def das_forces_pallas(rf, dyn, st, interpret: bool = False):
 def _default_candidates(st: DasStatic):
     if st.family == "rca":
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
-                {"lat_lanes": 0}, {"tile_sub": 32}]
+                {"lat_lanes": 0}, {"tile_sub": 32}, {"row_halves": 2}]
     if st.family == "hercules":
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
-                {"tile_sub": 16}]
+                {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1}]
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
-            {"tile_sub": 32}]
+            {"tile_sub": 32}, {"tx_block": 8},
+            {"tx_block": 8, "pred_share": 64}, {"row_halves": 2}]
 
 
 def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
