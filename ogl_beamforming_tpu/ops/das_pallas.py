@@ -1238,10 +1238,13 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # Several channels per grid step (each family's cached terms are
     # channel-independent); the bound-table units coincide with the blocks.
     # RCA takes 16 with the lateral-lanes layout (11.1 -> 10.4 ms headline;
-    # the old 8 limit was register pressure under the axial layout);
+    # the old 8 limit was register pressure under the axial layout) and 32
+    # when packed-IQ halves the per-gather register footprint (6.48 ->
+    # 6.10 ms; 32 with tile_sub=32 blows up to 18 ms, so only ch scales);
     # HERCULES/FORCES measured best at 8.
-    ch_block = min(_knob(st, "ch_block", 16 if st.family == "rca" else 8),
-                   st.local_channels)
+    cb_default = (32 if st.family == "rca" and _pack_iq(st)
+                  else 16 if st.family == "rca" else 8)
+    ch_block = min(_knob(st, "ch_block", cb_default), st.local_channels)
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
     bounds_cb = ch_block
@@ -1472,6 +1475,7 @@ def das_forces_pallas(rf, dyn, st, interpret: bool = False):
 def _default_candidates(st: DasStatic):
     if st.family == "rca":
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
+                {"ch_block": 16}, {"ch_block": 32},
                 {"lat_lanes": 0}, {"tile_sub": 32}, {"row_halves": 2}]
     if st.family == "hercules":
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
