@@ -270,6 +270,9 @@ def _interp_weights(st: DasStatic, t):
     if mode == InterpolationMode.Nearest:
         return [(0, jnp.float32(1.0))]
     if mode == InterpolationMode.Linear:
+        if _pack_pairs(st):
+            # (position, hi-weight, lo-weight): word k = (p_k, p_{k+1})
+            return [(0, 1.0 - t, t)]
         return [(0, 1.0 - t), (1, t)]
     t2 = t * t
     t3 = t2 * t
@@ -277,6 +280,15 @@ def _interp_weights(st: DasStatic, t):
     h01 = -2 * t3 + 3 * t2
     h10 = t3 - 2 * t2 + t
     h11 = t3 - t2
+    if _hermite(st):
+        # (position, value-weight, slope-weight): the slope plane holds
+        # m_k = (p_{k+1} - p_{k-1})/2, so this equals the 4-tap
+        # Catmull-Rom expansion below exactly.
+        return [(0, h00, h10), (1, h01, h11)]
+    if _pack_pairs(st):
+        # word k-1 = (p_{k-1}, p_k), word k+1 = (p_{k+1}, p_{k+2})
+        return [(-1, -0.5 * h10, h00 - 0.5 * h11),
+                (1, h01 + 0.5 * h10, 0.5 * h11)]
     return [(-1, -0.5 * h10), (0, h00 - 0.5 * h11),
             (1, h01 + 0.5 * h10), (2, 0.5 * h11)]
 
@@ -471,6 +483,37 @@ def _pack_iq(st: DasStatic) -> bool:
     (int16 against the line peak), well inside the 1e-3 golden contract;
     ``pack_iq=0`` restores exact f32 planes."""
     return bool(_knob(st, "pack_iq", 1)) and st.iq
+
+
+def _hermite(st: DasStatic) -> bool:
+    """Hermite-form cubic over packed-IQ words: a second packed plane
+    carries the central-difference slope m_k = (p_{k+1} - p_{k-1})/2, so
+    Catmull-Rom interpolation (mathematically identical, das.glsl:64-122)
+    needs 2 gather *positions* (k, k+1; value+slope words share one
+    index/mask computation) instead of 4 taps.  Gather count stays 4 —
+    already tap-minimal for int16 cubic IQ — but the per-position index/
+    compare/clip ops halve; the chunk loop is instruction-issue-bound
+    (row-halves cut predicted vreg work 15% for a measured 0%), so
+    instruction count is the lever.  Costs a second RF plane (2x VMEM
+    block + hidden DMA; same footprint as unpacked IQ).  Default on:
+    5.98 vs 6.21 ms best-non-hermite on the headline (two-pass pretune);
+    ``hermite=0`` restores the 4-tap form."""
+    return (bool(_knob(st, "hermite", 1)) and _pack_iq(st)
+            and st.interpolation_mode == InterpolationMode.Cubic)
+
+
+def _pack_pairs(st: DasStatic) -> bool:
+    """Real (non-IQ) RF as int16 sample pairs: word k = (p_k << 16) |
+    (p_{k+1} & 0xFFFF) against the line peak, carried bitcast-as-f32.
+    Every gather position then yields two consecutive taps — linear
+    interpolation needs ONE lane-gather per voxel (was 2), cubic two
+    (was 4) — with one index/compare/clip per position.  2x the int16
+    bytes = same VMEM block size as the unpacked f32 plane.  Same
+    quantization budget as packed IQ (~3e-5 NRMSE vs the line peak);
+    ``pack_pairs=0`` restores exact f32."""
+    return (bool(_knob(st, "pack_pairs", 0)) and not st.iq
+            and st.interpolation_mode in (InterpolationMode.Linear,
+                                          InterpolationMode.Cubic))
 
 
 def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
@@ -745,12 +788,12 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                 taps = _interp_weights(st, t)
 
             w_mask = apod * valid.astype(jnp.float32)
-            if _pack_iq(st):
+            if _pack_iq(st) or _pack_pairs(st):
                 # fold the line's int16 dequant scale into the pair weight
                 w_mask = w_mask * lsc_ref[chv, acq]
             if qb_lo is None:   # share == 1: in-kernel reduction bounds
-                min_off = min(off for off, _ in taps)
-                max_off = max(off for off, _ in taps)
+                min_off = min(tp[0] for tp in taps)
+                max_off = max(tp[0] for tp in taps)
                 active = valid & mask
                 k_lo = jnp.min(jnp.where(active, k, s)) + min_off
                 k_hi = jnp.max(jnp.where(active, k, 0)) + max_off
@@ -758,8 +801,10 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                 qmax = jnp.clip(k_hi // CHUNK, 0, nq - 1)
                 any_active = jnp.any(active)
             # Per-tap weight planes hoisted out of the chunk loop
-            # (w_mask * w is chunk-invariant).
-            tap_w = [(off, w_mask * w) for off, w in taps]
+            # (w_mask * w is chunk-invariant).  Hermite entries carry
+            # (position, value-weight, slope-weight).
+            tap_w = [(tp[0],) + tuple(w_mask * w for w in tp[1:])
+                     for tp in taps]
             acc_re_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
             if iq:
                 acc_im_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
@@ -774,9 +819,65 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                 a_re = acc_re_ref[slot, sub]
                 a_im = acc_im_ref[slot, sub] if iq else None
                 k_s = k[sub]
-                tw = [(off, wt[sub]) for off, wt in tap_w]
+                tw = [(tp[0],) + tuple(w[sub] for w in tp[1:])
+                      for tp in tap_w]
                 for q in range(g0, g1):
                     base = q * CHUNK
+                    if _hermite(st):
+                        # two packed planes (value, slope) share each
+                        # position's index/compare/clip/mask ops.
+                        src_p = jnp.broadcast_to(
+                            rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
+                                1, CHUNK), (hgt, CHUNK))
+                        src_m = jnp.broadcast_to(
+                            rf_ref[i, j, 1:2, base:base + CHUNK].reshape(
+                                1, CHUNK), (hgt, CHUNK))
+                        for off, wp, wm in tw:
+                            r = k_s + off - base
+                            sel = r.astype(jnp.uint32) < CHUNK
+                            rc = r if ABLATE.get("noclip") else \
+                                jnp.clip(r, 0, CHUNK - 1)
+                            wps = jnp.where(sel, wp, 0.0)
+                            wms = jnp.where(sel, wm, 0.0)
+                            gp = src_p if ABLATE.get("no_gather") else \
+                                jnp.take_along_axis(src_p, rc, axis=-1)
+                            gm = src_m if ABLATE.get("no_gather") else \
+                                jnp.take_along_axis(src_m, rc, axis=-1)
+                            vp = jax.lax.bitcast_convert_type(
+                                gp, jnp.int32)
+                            vm = jax.lax.bitcast_convert_type(
+                                gm, jnp.int32)
+                            a_re = (a_re
+                                    + wps * (vp >> 16).astype(jnp.float32)
+                                    + wms * (vm >> 16).astype(jnp.float32))
+                            a_im = (a_im
+                                    + wps * ((vp << 16) >> 16).astype(
+                                        jnp.float32)
+                                    + wms * ((vm << 16) >> 16).astype(
+                                        jnp.float32))
+                        continue
+                    if _pack_pairs(st):
+                        # one plane of (p_k, p_{k+1}) int16-pair words:
+                        # each gather yields two consecutive taps.
+                        src_pk = jnp.broadcast_to(
+                            rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
+                                1, CHUNK), (hgt, CHUNK))
+                        for off, w_hi, w_lo in tw:
+                            r = k_s + off - base
+                            sel = r.astype(jnp.uint32) < CHUNK
+                            rc = r if ABLATE.get("noclip") else \
+                                jnp.clip(r, 0, CHUNK - 1)
+                            whi = jnp.where(sel, w_hi, 0.0)
+                            wlo = jnp.where(sel, w_lo, 0.0)
+                            g = src_pk if ABLATE.get("no_gather") else \
+                                jnp.take_along_axis(src_pk, rc, axis=-1)
+                            v = jax.lax.bitcast_convert_type(
+                                g, jnp.int32)
+                            a_re = (a_re
+                                    + whi * (v >> 16).astype(jnp.float32)
+                                    + wlo * ((v << 16) >> 16).astype(
+                                        jnp.float32))
+                        continue
                     if _pack_iq(st):
                         # one plane of int16-pair words bitcast as f32:
                         # ONE gather per tap; unpack = 2 shifts + 2
@@ -1253,8 +1354,10 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # NOTE: last two block dims must equal the array dims (or be (8,128)
     # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
     packed = _pack_iq(st)
-    rf_block = ((ch_block, tx_block, 2, s_pad) if st.iq and not packed
-                else (ch_block, tx_block, 1, s_pad))
+    hermite = _hermite(st)
+    pairs_packed = _pack_pairs(st)
+    n_planes = (2 if (st.iq and not packed) or hermite else 1)
+    rf_block = (ch_block, tx_block, n_planes, s_pad)
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
                                n_cb_bounds, n_blocks)
 
@@ -1339,10 +1442,36 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             words = (ri << 16) | (ii & np.int32(0xFFFF))
             rf_planes = jax.lax.bitcast_convert_type(
                 words, jnp.float32)[:, :, None, :]
+            if hermite:
+                # plane 1: central-difference slope words, same line
+                # scale.  |m| <= peak so the int16 range holds; edge
+                # samples get m=0 (cubic's valid mask excludes them).
+                m_re = jnp.pad((rf_re[..., 2:] - rf_re[..., :-2]) * 0.5,
+                               ((0, 0), (0, 0), (1, 1)))
+                m_im = jnp.pad((rf_im[..., 2:] - rf_im[..., :-2]) * 0.5,
+                               ((0, 0), (0, 0), (1, 1)))
+                mr = jnp.round(m_re * qz[..., None]).astype(jnp.int32)
+                mi = jnp.round(m_im * qz[..., None]).astype(jnp.int32)
+                words_m = (mr << 16) | (mi & np.int32(0xFFFF))
+                rf_planes = jnp.concatenate(
+                    [rf_planes,
+                     jax.lax.bitcast_convert_type(
+                         words_m, jnp.float32)[:, :, None, :]], axis=2)
         elif st.iq:
             rf_planes = jnp.stack(
                 [jnp.real(rf_used), jnp.imag(rf_used)], axis=2)
             lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
+        elif pairs_packed:
+            # real RF as (p_k, p_{k+1}) int16-pair words (see _pack_pairs)
+            rf32 = rf_used.astype(jnp.float32)
+            peak = jnp.max(jnp.abs(rf32), axis=-1)
+            qz = jnp.where(peak > 0, np.float32(32767.0) / peak, 0.0)
+            lsc = jnp.where(peak > 0, peak / np.float32(32767.0), 0.0)
+            pi = jnp.round(rf32 * qz[..., None]).astype(jnp.int32)
+            nxt = jnp.pad(pi[..., 1:], ((0, 0), (0, 0), (0, 1)))
+            words = (pi << 16) | (nxt & np.int32(0xFFFF))
+            rf_planes = jax.lax.bitcast_convert_type(
+                words, jnp.float32)[:, :, None, :]
         else:
             rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
             lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
@@ -1476,17 +1605,21 @@ def _default_candidates(st: DasStatic):
     if st.family == "rca":
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
                 {"ch_block": 16}, {"ch_block": 32},
-                {"lat_lanes": 0}, {"tile_sub": 32}, {"row_halves": 2}]
+                {"lat_lanes": 0}, {"tile_sub": 32}, {"row_halves": 2},
+                {"hermite": 0}, {"hermite": 1, "ch_block": 16}]
     if st.family == "hercules":
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
-                {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1}]
+                {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1},
+                {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8}]
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
-            {"tx_block": 8, "pred_share": 64}, {"row_halves": 2}]
+            {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
+            {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8}]
 
 
 def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
-                 iters: int = 4, warmup: int = 1, save_path=None):
+                 iters: int = 4, warmup: int = 1, save_path=None,
+                 passes: int = 2):
     """Measure knob combinations for this configuration on the current
     device and install the fastest in :data:`TUNED` (used by every later
     trace of the same descriptor).  The reference tunes its dispatch
@@ -1497,6 +1630,12 @@ def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
     caches while running — intended as an explicit setup step, not a
     hot-path call.  ``save_path`` persists the whole TUNED table as JSON
     (reload with :func:`load_tuned`).
+
+    ``passes`` runs the whole candidate sweep that many times and ranks
+    per-candidate *minima*: the tunneled dev attach degrades for minutes
+    at a time (3.5x inflation observed mid-sweep), and a single pass in
+    such a window pins whichever candidate happened to run while the
+    tunnel was healthy.
     """
     import time as _time
 
@@ -1507,26 +1646,33 @@ def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
         candidates = _default_candidates(st)
     key = _tune_key(st)
     results = {}
+    for _ in range(max(1, passes)):
+        for knobs in candidates:
+            if results.get(repr(knobs), "miss") is None:
+                continue           # failed to compile on an earlier pass
+            TUNED[key] = dict(knobs)
+            _das_call.cache_clear()
+            das_jit.clear_cache()
+            try:
+                for _ in range(warmup):
+                    sync(das_jit(rf, dyn, st))
+                t0 = _time.perf_counter()
+                for _ in range(iters):
+                    out = das_jit(rf, dyn, st)
+                sync(out)
+                dt = (_time.perf_counter() - t0) / iters
+            except Exception:          # a candidate may not compile
+                TUNED.pop(key, None)
+                results[repr(knobs)] = None
+                continue
+            prev = results.get(repr(knobs))
+            results[repr(knobs)] = dt if prev is None or not isinstance(
+                prev, float) else min(prev, dt)
     best = None
     best_t = np.inf
     for knobs in candidates:
-        TUNED[key] = dict(knobs)
-        _das_call.cache_clear()
-        das_jit.clear_cache()
-        try:
-            for _ in range(warmup):
-                sync(das_jit(rf, dyn, st))
-            t0 = _time.perf_counter()
-            for _ in range(iters):
-                out = das_jit(rf, dyn, st)
-            sync(out)
-            dt = (_time.perf_counter() - t0) / iters
-        except Exception:          # a candidate may not compile
-            TUNED.pop(key, None)
-            results[repr(knobs)] = None
-            continue
-        results[repr(knobs)] = dt
-        if dt < best_t:
+        dt = results.get(repr(knobs))
+        if isinstance(dt, float) and dt < best_t:
             best_t, best = dt, dict(knobs)
     TUNED[key] = best or {}
     _das_call.cache_clear()
