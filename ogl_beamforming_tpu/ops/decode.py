@@ -161,6 +161,52 @@ def _decode_kernel_i8(scale, cb, h_ref, rf_ref, out_ref):
 # trace-time like das_pallas.ABLATE — clear _decode_call between changes.
 DECODE_ABLATE: dict = {}
 
+# Per-shape tuned knobs installed by :func:`autotune_decode`, consulted
+# between DECODE_ABLATE (explicit override) and the measured defaults.
+# Keyed by the (C, A, S) input shape.
+DECODE_TUNED: dict = {}
+
+_DECODE_SHIPPED_LOADED = False
+
+
+def _load_shipped_decode_tuned():
+    """Load the committed per-shape decode table (data/decode_tuned_v5e.json,
+    produced by tools/pretune.py on a v5e chip) once, lazily, without
+    overriding entries the user already installed."""
+    global _DECODE_SHIPPED_LOADED
+    if _DECODE_SHIPPED_LOADED:
+        return
+    _DECODE_SHIPPED_LOADED = True
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "decode_tuned_v5e.json")
+    try:
+        with open(path) as f:
+            rows = json.load(f)
+    except OSError:
+        return
+    for row in rows:
+        DECODE_TUNED.setdefault(tuple(row["key"]), row["knobs"])
+
+
+def save_decode_tuned(path: str) -> None:
+    """Persist :data:`DECODE_TUNED` as JSON (reload via the shipped-table
+    path or :func:`load_decode_tuned`)."""
+    import json
+    rows = [{"key": list(k), "knobs": v} for k, v in DECODE_TUNED.items()]
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+def load_decode_tuned(path: str) -> None:
+    import json
+    with open(path) as f:
+        rows = json.load(f)
+    for row in rows:
+        DECODE_TUNED[tuple(row["key"])] = row["knobs"]
+    _decode_call.cache_clear()
+
 
 @functools.lru_cache(maxsize=32)
 def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=()):
@@ -223,8 +269,11 @@ def decode_hadamard_pallas(rf: jax.Array, hadamard: jax.Array,
     accumulate in f32); matches golden.decode_hadamard.
     """
     c, a, s = rf.shape
+    _load_shipped_decode_tuned()
+    knobs = dict(DECODE_TUNED.get((c, a, s), ()))
+    knobs.update(DECODE_ABLATE)          # explicit overrides win
     return _decode_call(c, a, s, interpret,
-                        tuple(sorted(DECODE_ABLATE.items())))(rf, hadamard)
+                        tuple(sorted(knobs.items())))(rf, hadamard)
 
 
 def _use_pallas_decode(rf) -> bool:
@@ -235,11 +284,16 @@ def _use_pallas_decode(rf) -> bool:
 
 
 def autotune_decode(rf, hadamard, candidates=None, iters: int = 50,
-                    warmup: int = 4):
+                    warmup: int = 4, passes: int = 2, save_path=None):
     """Measure decode kernel knob combinations for this shape on the
-    current device and install the fastest in :data:`DECODE_ABLATE`
-    (mirrors :func:`..ops.das_pallas.autotune_das`).  Returns
-    ``(best_knobs, {repr(knobs): seconds})``.
+    current device and install the fastest in :data:`DECODE_TUNED` keyed
+    by the (C, A, S) shape (mirrors :func:`..ops.das_pallas.autotune_das`;
+    used by every later :func:`decode_hadamard_pallas` of the same shape).
+    ``passes`` sweeps the candidate list that many times and ranks
+    per-candidate *minima* — one pass in a degraded-tunnel window pins
+    whichever candidate happened to run while the tunnel was healthy.
+    ``save_path`` persists the whole table via :func:`save_decode_tuned`.
+    Returns ``(best_knobs, {repr(knobs): seconds})``.
     """
     import time as _time
 
@@ -247,31 +301,42 @@ def autotune_decode(rf, hadamard, candidates=None, iters: int = 50,
 
     if candidates is None:
         candidates = [{}, {"i8": 1}, {"i8": 0}, {"cb": 8}, {"cb": 16},
-                      {"i8": 1, "cb": 16}, {"bs": 1024}, {"pipe": 0}]
+                      {"i8": 1, "cb": 16}, {"bs": 1024}, {"bs": 4096},
+                      {"i8": 0, "bs": 1024}, {"pipe": 0}]
     results = {}
-    best, best_t = None, float("inf")
     saved = dict(DECODE_ABLATE)
+    key = tuple(rf.shape)
+    _load_shipped_decode_tuned()
+    prev_tuned = DECODE_TUNED.pop(key, None)  # candidates must run pure
     try:
-        for knobs in candidates:
-            DECODE_ABLATE.clear()
-            DECODE_ABLATE.update(knobs)
-            _decode_call.cache_clear()
-            try:
-                for _ in range(warmup):
-                    sync(decode_hadamard_pallas(rf, hadamard))
-                t0 = _time.perf_counter()
-                for _ in range(iters):
-                    out = decode_hadamard_pallas(rf, hadamard)
-                sync(out)
-                dt = (_time.perf_counter() - t0) / iters
-            except Exception:          # a candidate may not compile
-                results[repr(knobs)] = None
-                continue
-            results[repr(knobs)] = dt
-            if dt < best_t:
-                best_t, best = dt, dict(knobs)
+        for _ in range(max(1, passes)):
+            for knobs in candidates:
+                DECODE_ABLATE.clear()
+                DECODE_ABLATE.update(knobs)
+                _decode_call.cache_clear()
+                try:
+                    for _ in range(warmup):
+                        sync(decode_hadamard_pallas(rf, hadamard))
+                    t0 = _time.perf_counter()
+                    for _ in range(iters):
+                        out = decode_hadamard_pallas(rf, hadamard)
+                    sync(out)
+                    dt = (_time.perf_counter() - t0) / iters
+                except Exception:          # a candidate may not compile
+                    results.setdefault(repr(knobs), None)
+                    continue
+                prev = results.get(repr(knobs))
+                results[repr(knobs)] = dt if prev is None else min(prev, dt)
+        timed = [(t, eval(k)) for k, t in results.items() if t is not None]
+        best = min(timed)[1] if timed else {}
     finally:
         DECODE_ABLATE.clear()
-        DECODE_ABLATE.update(saved if best is None else best)
+        DECODE_ABLATE.update(saved)
+        if prev_tuned is not None:
+            DECODE_TUNED[key] = prev_tuned
         _decode_call.cache_clear()
-    return best or {}, results
+    if timed:
+        DECODE_TUNED[key] = best
+    if save_path:
+        save_decode_tuned(save_path)
+    return best, results

@@ -225,19 +225,48 @@ def test_decode_pallas_matches_golden(rng):
         assert np.abs(out - ref).max() <= 2e-3   # ~1e-7 relative
 
 
-def test_autotune_decode_interface(rng):
+def test_autotune_decode_interface(rng, tmp_path):
     """autotune_decode degrades gracefully when no candidate compiles
-    (CPU has no Mosaic); on TPU it installs the fastest knobs."""
+    (CPU has no Mosaic); on TPU it installs the fastest knobs in
+    DECODE_TUNED keyed by shape, leaves DECODE_ABLATE untouched, and the
+    persisted table roundtrips."""
     import jax.numpy as jnp
     from ogl_beamforming_tpu.ops import decode as dec
 
     rf = rng.integers(-512, 512, (4, 16, 256)).astype(np.int16)
     h = dec.hadamard_matrix(16)
+    path = str(tmp_path / "decode_tuned.json")
     best, results = dec.autotune_decode(jnp.asarray(rf), h, iters=1,
-                                        warmup=0)
+                                        warmup=0, passes=1, save_path=path)
     assert isinstance(best, dict)
     assert results                      # every candidate was attempted
-    assert dec.DECODE_ABLATE == best or dec.DECODE_ABLATE == {}
+    assert dec.DECODE_ABLATE == {}      # explicit overrides untouched
+    installed = dec.DECODE_TUNED.pop((4, 16, 256), None)
+    if installed is not None:           # TPU: fastest knobs installed
+        assert installed == best
+        dec.load_decode_tuned(path)
+        assert dec.DECODE_TUNED.pop((4, 16, 256)) == best
+
+
+def test_decode_tuned_applied(rng):
+    """A DECODE_TUNED entry for the shape is used by the kernel (interpret
+    mode validates numerics under tuned knobs), and ABLATE overrides it."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.ops import decode as dec
+
+    c, a, s = 4, 16, 256
+    rf = rng.integers(-512, 512, (c, a, s)).astype(np.int16)
+    h = dec.hadamard_matrix(a)
+    ref = golden.decode_hadamard(rf, np.asarray(h))
+    try:
+        dec.DECODE_TUNED[(c, a, s)] = {"i8": 1, "cb": 2}
+        dec._decode_call.cache_clear()
+        out = np.asarray(dec.decode_hadamard_pallas(jnp.asarray(rf), h,
+                                                    interpret=True))
+    finally:
+        dec.DECODE_TUNED.pop((c, a, s), None)
+        dec._decode_call.cache_clear()
+    assert np.abs(out - ref).max() <= 2e-3
 
 
 def test_decode_pallas_i8_exact(rng):

@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -33,14 +35,28 @@ def main():
     out_path = os.path.join(os.path.dirname(__file__), "..",
                             "ogl_beamforming_tpu", "data", "tuned_v5e.json")
 
-    def das_case(name, rf, dyn, st):
+    # Tunnel-health gate: tuning in a degraded window pins wrong knobs.
+    # 2D cases also need iters >> 1 so the per-measure readback RTT
+    # (~30 ms healthy) amortizes below the knob deltas being ranked.
+    probe = np.arange(8, dtype=np.float32)
+    np.asarray(jax.device_put(probe))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(jax.device_put(probe))
+    rtt = (time.perf_counter() - t0) / 3 * 1e3
+    print(f"tunnel RTT {rtt:.1f} ms", flush=True)
+    if rtt > 80:
+        sys.exit(f"tunnel degraded (RTT {rtt:.0f} ms) — refusing to tune")
+
+    def das_case(name, rf, dyn, st, iters=4):
         print(f"== {name}: tuning", flush=True)
-        best, results = das_pallas.autotune_das(rf, dyn, st, iters=4,
+        best, results = das_pallas.autotune_das(rf, dyn, st, iters=iters,
                                                 warmup=1)
         print(f"   best={best}", flush=True)
         for k, v in results.items():
             print(f"   {k}: "
                   f"{'fail' if v is None else round(v * 1e3, 2)}", flush=True)
+        das_pallas.save_tuned(out_path)   # incremental: survive interrupts
 
     # 1. headline plane-wave (IQ cubic)
     c, s = 256, 4096
@@ -53,7 +69,7 @@ def main():
     im = rng.standard_normal((c, 1, s)).astype(np.float32)
     rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(jnp.asarray(re),
                                                      jnp.asarray(im))
-    das_case("plane_wave_headline", rf, plan.dyn["das"], st)
+    das_case("plane_wave_headline", rf, plan.dyn["das"], st, iters=24)
 
     # 2. FORCES compounding (decode->DAS chain DAS stage)
     p, pipe = presets.forces_compounding(channel_count=128,
@@ -65,7 +81,7 @@ def main():
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=False)
     rf = jnp.asarray(rng.standard_normal((128, 16, 2048)).astype(np.float32))
-    das_case("forces_chain", rf, plan.dyn["das"], st)
+    das_case("forces_chain", rf, plan.dyn["das"], st, iters=16)
 
     # 3. HERCULES 3D
     p, pipe = presets.hercules_3d(channel_count=128, acquisition_count=128,
@@ -75,10 +91,51 @@ def main():
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=False)
     rf = jnp.asarray(rng.standard_normal((128, 128, 4096)).astype(np.float32))
-    das_case("hercules_3d", rf, plan.dyn["das"], st)
+    das_case("hercules_3d", rf, plan.dyn["das"], st, iters=3)
+
+    # 4. FORCES on the big grid (tx_block=8 wins here but loses the
+    # 256x512 chain config — exactly what per-preset tables are for)
+    p, pipe = presets.forces_compounding(channel_count=256,
+                                         transmit_count=16,
+                                         sample_count=2048,
+                                         output_points=(512, 1024),
+                                         demodulate=False)
+    plan = build_plan(p, pipe, {})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    st = dataclasses.replace(sd.das, iq=False)
+    rf = jnp.asarray(rng.standard_normal((256, 16, 2048)).astype(np.float32))
+    das_case("forces_big", rf, plan.dyn["das"], st, iters=16)
+
+    # 5. uFORCES volumetric (sparse tx + coherency)
+    p, pipe, _sparse = presets.uforces_volumetric()
+    plan = build_plan(p, pipe, {})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    st = dataclasses.replace(sd.das, iq=False)
+    rf = jnp.asarray(rng.standard_normal(
+        (st.channel_count, st.acquisition_count,
+         st.sample_count)).astype(np.float32))
+    das_case("uforces_3d", rf, plan.dyn["das"], st, iters=2)
 
     das_pallas.save_tuned(out_path)
     print(f"saved {out_path} ({len(das_pallas.TUNED)} entries)", flush=True)
+
+    # 6. decode sweep shapes (tests/decode.c: 4096 samples x 256 channels)
+    from ogl_beamforming_tpu.ops import decode as dec
+    dec_path = os.path.join(os.path.dirname(__file__), "..",
+                            "ogl_beamforming_tpu", "data",
+                            "decode_tuned_v5e.json")
+    for t in (16, 64, 96, 256):
+        rf = jnp.asarray(rng.integers(-2048, 2048, (256, t, 4096))
+                         .astype(np.int16))
+        h = dec.hadamard_matrix(t)
+        print(f"== decode T={t}: tuning", flush=True)
+        best, results = dec.autotune_decode(rf, h, iters=40, warmup=4,
+                                            save_path=dec_path)
+        print(f"   best={best}", flush=True)
+        for k, v in results.items():
+            print(f"   {k}: "
+                  f"{'fail' if v is None else round(v * 1e3, 3)}", flush=True)
+    print(f"saved {dec_path} ({len(dec.DECODE_TUNED)} entries)", flush=True)
 
 
 if __name__ == "__main__":
