@@ -214,10 +214,17 @@ def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
       op; both bounds are reported by --full).
     * Mosaic's only fast dynamic gather is ``take_along_axis`` within a
       128-lane row, issuing ~1 vreg (1024 lanes)/cycle (measured).  Cubic
-      IQ interpolation of one (voxel, channel) sample *requires* gathering
-      ``taps * planes`` values, so the hard lower bound is
-      ``taps * planes`` gather lane-ops per active (voxel, channel) —
-      independent of kernel formulation or voxel layout.
+      IQ interpolation of one (voxel, channel) sample requires gathering
+      ``taps * planes`` values, so the bound charges ``taps * planes``
+      gather lane-ops per active (voxel, channel) for the exact-f32
+      two-plane formulation — independent of voxel layout.  (Round 3's
+      int16 re|im packing fetches both planes in one gather, so the
+      *packed* kernel's own speed of light is 2x this bound; the roofline
+      deliberately stays pinned to the round-2 exact-f32 form so
+      ``vs_baseline`` is comparable across rounds and never inflated by
+      reformulation.  Measured fractions > 1 would therefore be possible
+      for a perfect packed kernel — the honest framing is "fraction of
+      the exact-form bound".)
     * Index/weight/FMA overhead adds ~1 lane-op per gather lane-op
       (ablations: gathers are ~50% of kernel time), hence the factor 2.
     * Voxels beyond the last RF sample are skipped (activity pruning); the

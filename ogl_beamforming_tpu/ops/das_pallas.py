@@ -556,25 +556,36 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
     if not ABLATE.get("no_bounds"):
-        # Prefetched conservative chunk bounds for this (tile, ch-unit),
-        # one per row group (_row_halves): pure scalar reads, no
+        # Prefetched conservative chunk bounds, one per (channel subgroup,
+        # row group) of this (tile, ch-unit): pure scalar reads, no
         # vector->scalar reduction stall.  Inactive units encode (nq, -1)
-        # so all chunk groups predicate false.
+        # so all chunk groups predicate false.  ``n_cb`` counts *subunit*
+        # bound rows (_ch_sub granularity); the step covers n_sub of them.
         H = _row_halves(st)
-        qmin, qmax = [], []
-        for h in range(H):
-            lo = qlo_ref[(tile * n_cb + ch) * H + h]
-            hi = qhi_ref[(tile * n_cb + ch) * H + h]
-            if n_blocks > 1 and not ABLATE.get("no_blk_bounds"):
-                # Intersect with per-(tile, acquisition-block) bounds: the
-                # ch-unit bounds union over ALL transmits, but each block's
-                # transmit elements cover a narrow delay interval (measured
-                # 0.61x executed chunks on HERCULES 3D,
-                # experiments/herc_bounds_stats.py).
-                lo = jnp.maximum(lo, qblo_ref[tile * n_blocks + blk])
-                hi = jnp.minimum(hi, qbhi_ref[tile * n_blocks + blk])
-            qmin.append(lo)
-            qmax.append(hi)
+        n_sub = ch_block // _ch_sub(st, ch_block)
+        if n_blocks > 1 and not ABLATE.get("no_blk_bounds"):
+            # Per-(tile, acquisition-block) bounds to intersect with: the
+            # ch-unit bounds union over ALL transmits, but each block's
+            # transmit elements cover a narrow delay interval (measured
+            # 0.61x executed chunks on HERCULES 3D,
+            # experiments/herc_bounds_stats.py).
+            blo = qblo_ref[tile * n_blocks + blk]
+            bhi = qbhi_ref[tile * n_blocks + blk]
+        else:
+            blo = bhi = None
+        qmin, qmax = [], []            # [subgroup][row group]
+        for sg in range(n_sub):
+            smin, smax = [], []
+            for h in range(H):
+                u = (tile * n_cb + ch * n_sub + sg) * H + h
+                lo, hi = qlo_ref[u], qhi_ref[u]
+                if blo is not None:
+                    lo = jnp.maximum(lo, blo)
+                    hi = jnp.minimum(hi, bhi)
+                smin.append(lo)
+                smax.append(hi)
+            qmin.append(smin)
+            qmax.append(smax)
     else:
         qmin = qmax = None
 
@@ -677,12 +688,15 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
         tx_cached = True
 
     if qb_lo is not None:
-        # RCA: chunk bounds are prefetched per (tile, ch-unit); skip the
-        # whole unit (delay math included) when its union bounds are empty.
-        u_lo, u_hi = qb_lo[0], qb_hi[0]
-        for h in range(1, len(qb_lo)):
-            u_lo = jnp.minimum(u_lo, qb_lo[h])
-            u_hi = jnp.maximum(u_hi, qb_hi[h])
+        # Chunk bounds are prefetched per (tile, ch-subgroup, row-group);
+        # skip the whole unit (delay math included) when the union over
+        # every subgroup x row-group is empty.
+        flat_lo = [b for sg in qb_lo for b in sg]
+        flat_hi = [b for sg in qb_hi for b in sg]
+        u_lo, u_hi = flat_lo[0], flat_hi[0]
+        for h in range(1, len(flat_lo)):
+            u_lo = jnp.minimum(u_lo, flat_lo[h])
+            u_hi = jnp.maximum(u_hi, flat_hi[h])
 
         @pl.when(u_lo <= u_hi)
         def _():
@@ -729,8 +743,17 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
     # share one chunk-group predicate region (fewer scalar-core branches);
     # each shared pair gets its own accumulator plane in scratch.
     pairs = [(i, j) for i in range(ch_block) for j in range(tx_block)]
-    share = min(_pred_share(st, ch_block * tx_block), len(pairs)) \
-        if qb_lo is not None else 1
+    ch_sub = _ch_sub(st, ch_block)
+    if qb_lo is not None:
+        # Predicate batches must not straddle bound subgroups (pairs are
+        # i-major, so subgroup sg owns the contiguous slice
+        # [sg*ch_sub*tx_block, (sg+1)*ch_sub*tx_block)).
+        share = min(_pred_share(st, ch_block * tx_block), len(pairs),
+                    ch_sub * tx_block)
+        while (ch_sub * tx_block) % share:
+            share -= 1
+    else:
+        share = 1
     # Chunk predication granularity: with prefetched (and, multi-transmit,
     # per-block-intersected) bounds plus whole-step predicate sharing, exact
     # per-chunk skipping is essentially free — group=1 everywhere
@@ -744,8 +767,9 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
         preps = []
         any_active = None
         if qb_lo is not None:
-            h_bounds = list(zip(qb_lo, qb_hi))
-            qmin, qmax = qb_lo[0], qb_hi[0]     # union over row groups
+            sg = batch[0][0] // ch_sub     # this batch's bound subgroup
+            h_bounds = list(zip(qb_lo[sg], qb_hi[sg]))
+            qmin, qmax = h_bounds[0]       # union over row groups
             for hlo, hhi in h_bounds[1:]:
                 qmin = jnp.minimum(qmin, hlo)
                 qmax = jnp.maximum(qmax, hhi)
@@ -836,7 +860,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                             r = k_s + off - base
                             sel = r.astype(jnp.uint32) < CHUNK
                             rc = r if ABLATE.get("noclip") else \
-                                jnp.clip(r, 0, CHUNK - 1)
+                                r & (CHUNK - 1)
                             wps = jnp.where(sel, wp, 0.0)
                             wms = jnp.where(sel, wm, 0.0)
                             gp = src_p if ABLATE.get("no_gather") else \
@@ -866,7 +890,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                             r = k_s + off - base
                             sel = r.astype(jnp.uint32) < CHUNK
                             rc = r if ABLATE.get("noclip") else \
-                                jnp.clip(r, 0, CHUNK - 1)
+                                r & (CHUNK - 1)
                             whi = jnp.where(sel, w_hi, 0.0)
                             wlo = jnp.where(sel, w_lo, 0.0)
                             g = src_pk if ABLATE.get("no_gather") else \
@@ -889,7 +913,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                             r = k_s + off - base
                             sel = r.astype(jnp.uint32) < CHUNK
                             rc = r if ABLATE.get("noclip") else \
-                                jnp.clip(r, 0, CHUNK - 1)
+                                r & (CHUNK - 1)
                             wsel = jnp.where(sel, wt, 0.0)
                             g = src_pk if ABLATE.get("no_gather") else \
                                 jnp.take_along_axis(src_pk, rc, axis=-1)
@@ -912,8 +936,10 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                         r = k_s + off - base
                         # one unsigned compare: negative r wraps high
                         sel = r.astype(jnp.uint32) < CHUNK
+                        # single-op legal-index wrap (CHUNK is a power of
+                        # two; sel discards wrapped values) vs clip's 2 ops
                         rc = r if ABLATE.get("noclip") else \
-                            jnp.clip(r, 0, CHUNK - 1)
+                            r & (CHUNK - 1)
                         wsel = jnp.where(sel, wt, 0.0)
                         if ABLATE.get("no_gather"):
                             a_re = a_re + wsel * src_re
@@ -1025,6 +1051,22 @@ def _row_halves(st) -> int:
     while h > 1 and (ts % h != 0 or (ts // h) % 8 != 0):
         h -= 1
     return max(1, h)
+
+
+def _ch_sub(st, ch_block: int) -> int:
+    """Channel granularity of the chunk-bound tables.  Default = ch_block
+    (one bounds row per grid step, round-2 behavior).  Smaller values keep
+    the big step's amortization but give each ch_sub-channel subgroup its
+    own predicate regions and bounds, so a chunk needed by only part of
+    the step's channel span skips the rest's gather work — the 32-channel
+    union bounds execute ~15% more chunks than 8-channel bounds on the
+    headline (experiments/chblock_span_stats.py).  Must divide ch_block;
+    autotune candidates cover it per family."""
+    cs = int(_knob(st, "ch_sub", ch_block))
+    cs = max(1, min(cs, ch_block))
+    while ch_block % cs:
+        cs -= 1
+    return cs
 
 
 _ACT_MARGIN = np.float32(8.0)   # samples of slack on the activity bounds
@@ -1348,8 +1390,10 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     ch_block = min(_knob(st, "ch_block", cb_default), st.local_channels)
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
-    bounds_cb = ch_block
-    n_cb_bounds = n_ch_grid
+    # Bound tables at _ch_sub granularity (default = ch_block): n_sub
+    # subgroup rows per grid step, indexed (tile*n_cb + ch*n_sub + sg).
+    bounds_cb = _ch_sub(st, ch_block)
+    n_cb_bounds = n_ch_grid * (ch_block // bounds_cb)
 
     # NOTE: last two block dims must equal the array dims (or be (8,128)
     # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
@@ -1383,9 +1427,12 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         on = act[i] > 0
         return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
-    # shared-predicate batches need one accumulator slot per pair
+    # shared-predicate batches need one accumulator slot per pair (batches
+    # are additionally capped at one _ch_sub bound subgroup)
     n_slots = min(_pred_share(st, ch_block * tx_block),
-                  ch_block * tx_block)
+                  ch_block * tx_block, bounds_cb * tx_block)
+    while (bounds_cb * tx_block) % n_slots:
+        n_slots -= 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,    # scalars, geometry tables, tile flags,
                                   # per-(tile, ch-unit) + per-(tile,
@@ -1606,15 +1653,18 @@ def _default_candidates(st: DasStatic):
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
                 {"ch_block": 16}, {"ch_block": 32},
                 {"lat_lanes": 0}, {"tile_sub": 32}, {"row_halves": 2},
-                {"hermite": 0}, {"hermite": 1, "ch_block": 16}]
+                {"hermite": 0}, {"hermite": 1, "ch_block": 16},
+                {"ch_sub": 8}, {"ch_sub": 16}, {"ch_sub": 8, "row_halves": 2}]
     if st.family == "hercules":
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
                 {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1},
-                {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8}]
+                {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8},
+                {"ch_sub": 4}]
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
             {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
-            {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8}]
+            {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8},
+            {"ch_sub": 4}]
 
 
 def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,

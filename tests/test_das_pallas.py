@@ -115,6 +115,39 @@ def test_rca(rng, kind, focus, orient):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+@pytest.mark.parametrize("kind,iq,knobs", [
+    (AcquisitionKind.FORCES, True, {"ch_sub": 4}),
+    (AcquisitionKind.FORCES, False, {"ch_sub": 2, "row_halves": 2}),
+    (AcquisitionKind.Flash, True, {"ch_sub": 4, "ch_block": 8}),
+])
+def test_ch_sub_bounds(rng, kind, iq, knobs):
+    """Sub-unit channel chunk bounds (per-subgroup predicate regions
+    nested in the step, keeping the step's amortization) match golden for
+    FORCES and RCA, alone and with row-halves."""
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    kw = dict(interpolation_mode=InterpolationMode.Cubic)
+    if kind == AcquisitionKind.Flash:
+        kw.update(single_focus=False,
+                  focal_vectors=np.stack(
+                      [np.zeros(3, np.float32),
+                       np.full(3, np.inf, np.float32)], axis=-1),
+                  single_orientation=False,
+                  transmit_receive_orientations=np.full(
+                      3, pack_tx_rx_orientation(RCAOrientation.Columns,
+                                                RCAOrientation.Columns),
+                      np.uint8))
+    p = _params(8, 3, 256, (12, 16, 1), kind, **kw)
+    dp_mod.ABLATE.update(knobs)
+    try:
+        ref, out = _run(rng, p, iq=iq)
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
 @pytest.mark.parametrize("hermite", [0, 1])
 def test_hermite_cubic_iq(rng, hermite):
     """Hermite-form cubic (value+slope packed planes, 2 gather positions;
