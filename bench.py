@@ -116,9 +116,13 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     import dataclasses
     st = dataclasses.replace(sd.das, iq=True)
+    from ogl_beamforming_tpu.ops import das_pallas
     from ogl_beamforming_tpu.ops.das import das_jit
     rf = make_iq(re, im)
-    dyn = plan.dyn["das"]
+    # the IQ static differs from the plan's: refresh the precomputed
+    # activity tables for it (the executor does this on parameter pushes)
+    dyn = dict(plan.dyn["das"])
+    dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st)
     dt = _timeit(lambda: das_jit(rf, dyn, st), sync, warmup=2, iters=iters)
     voxels = nx * nz
     return {

@@ -41,6 +41,8 @@ def main():
         das_pallas._das_call.cache_clear()
         das_jit.clear_cache()
         try:
+            dyn = dict(dyn)      # deployment config: tables precomputed
+            dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st)
             for _ in range(warmup):
                 sync(das_jit(rf, dyn, st))
             t0 = time.perf_counter()
@@ -74,6 +76,30 @@ def main():
         ("hl_ch_sub16_rh2", {"ch_sub": 16, "row_halves": 2}),
     ]:
         measure(name, knobs, st, dyn, rf)
+
+    # isolate the per-frame activity-table cost at each granularity (it
+    # runs inside the frame jit; ch_sub multiplies its unit axis)
+    import jax.numpy as jnp
+    from experiments.layout_stats import rca_tables, scalars_for
+    sc = scalars_for(dyn, das_pallas)
+    t0a, t1a = rca_tables(dyn)
+    vtj = jnp.asarray(dyn["voxel_transform"])
+    xdj = jnp.asarray(dyn["xdc_transform"])
+    for cb, halves, label in [(32, 1, "act_cb32"), (8, 1, "act_sub8"),
+                              (16, 1, "act_sub16"),
+                              (8, 2, "act_sub8_rh2")]:
+        n_cb = -(-st.local_channels // cb)
+        fn = jax.jit(lambda s_, a_, b_, v_, x_, cb=cb, n_cb=n_cb,
+                     halves=halves: das_pallas._tile_activity(
+                         st, s_, a_, b_, v_, x_, n_grid=st.acquisition_count,
+                         n_cb=n_cb, ch_block=cb, halves=halves))
+        sync(fn(sc, t0a, t1a, vtj, xdj)[0])
+        t0 = time.perf_counter()
+        for _ in range(32):
+            out = fn(sc, t0a, t1a, vtj, xdj)
+        sync(out[0])
+        print(json.dumps({label: round((time.perf_counter() - t0)
+                                       / 32 * 1e3, 3)}), flush=True)
 
     # FORCES big grid (linear)
     p, pipe = forces_compounding(channel_count=256, transmit_count=16,

@@ -576,9 +576,9 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         qmin, qmax = [], []            # [subgroup][row group]
         for sg in range(n_sub):
             smin, smax = [], []
+            u = tile * n_cb + ch * n_sub + sg
             for h in range(H):
-                u = (tile * n_cb + ch * n_sub + sg) * H + h
-                lo, hi = qlo_ref[u], qhi_ref[u]
+                lo, hi = qlo_ref[u, h], qhi_ref[u, h]
                 if blo is not None:
                     lo = jnp.maximum(lo, blo)
                     hi = jnp.minimum(hi, bhi)
@@ -1103,7 +1103,7 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     rt, zt = _n_row_tiles(st), _n_z_tiles(st)
     if ABLATE.get("no_bounds"):       # round-1 behavior (A/B harness)
         return (jnp.ones(rt * zt, jnp.int32),
-                jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32),
+                jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32),
                 jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
     n_rows, n_lanes = _axes(st)
     nx, ny, nz = st.output_points
@@ -1156,7 +1156,9 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
     def unit_tables(kmin, kmax):
         """(n_cb, rows, lanes) index intervals -> activity flags +
         per-(tile, ch-unit, row-group) chunk bounds in prefetch layout
-        ``[(tile * n_cb + cu) * halves + h]``."""
+        ``[tile * n_cb + cu, h]`` (2-D so different (granularity, halves)
+        splits can never alias to the same shape — the precomputed-table
+        path validates shape at trace time)."""
         km = kmin.reshape(n_cb, rt, halves, ts_q // halves, zt,
                           TILE_LANE).min(axis=(3, 5))
         kM = kmax.reshape(n_cb, rt, halves, ts_q // halves, zt,
@@ -1165,8 +1167,8 @@ def _tile_activity(st: DasStatic, scalars, t0_arr, t1_arr, vt, xdc,
         on = jnp.isfinite(kM)
         act = on.any(axis=(0, 2))
         return (act.reshape(-1).astype(jnp.int32),
-                ql.transpose(1, 3, 0, 2).reshape(-1),
-                qh.transpose(1, 3, 0, 2).reshape(-1))
+                ql.transpose(1, 3, 0, 2).reshape(-1, halves),
+                qh.transpose(1, 3, 0, 2).reshape(-1, halves))
 
     def block_tables(per_block_intervals):
         """Stack per-(tile, transmit-block) bounds into the prefetch
@@ -1467,7 +1469,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     g_repeat = st.readi_group_count if st.readi_group_count > 1 else 1
 
-    def run(scalars, t0_arr, t1_arr, vt, xdc, rf):
+    def run(scalars, t0_arr, t1_arr, vt, xdc, rf, tables=None):
         # Complex handling stays inside jit: some TPU runtimes cannot
         # execute eager complex ops or transfer complex arrays.
         rf_used = rf[:, sparse:, :]
@@ -1530,10 +1532,22 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                 rf_planes, ((0, pad_c), (0, pad_a), (0, 0), (0, s_pad - s)))
         if pad_a or pad_c:
             lsc = jnp.pad(lsc, ((0, pad_c), (0, pad_a)))
-        act, qlo, qhi, qblo, qbhi = _tile_activity(
-            st, scalars, t0_arr, t1_arr, vt, xdc, n_acq_grid,
-            n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block,
-            halves=_row_halves(st))
+        # Precomputed tables (das_activity_tables, refreshed on parameter
+        # pushes) skip the in-frame table compute; a trace-time shape
+        # mismatch (stale knob granularity, e.g. an ABLATE sweep without a
+        # refresh) falls back to computing them in-frame — always correct,
+        # just slower.
+        want_q = (n_tiles * n_cb_bounds, _row_halves(st))
+        want_b = (n_tiles * n_blocks if n_blocks > 1 else 1,)
+        if (tables is not None and not ABLATE.get("no_bounds")
+                and tables[1].shape == want_q
+                and tables[3].shape == want_b):
+            act, qlo, qhi, qblo, qbhi = tables
+        else:
+            act, qlo, qhi, qblo, qbhi = _tile_activity(
+                st, scalars, t0_arr, t1_arr, vt, xdc, n_acq_grid,
+                n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block,
+                halves=_row_halves(st))
         out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
                                     qblo, qbhi, lsc, vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
@@ -1554,11 +1568,10 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     return jax.jit(run)
 
 
-def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
-    """Pallas DAS dispatch for all acquisition families.  ``rf``: (C, A, S).
-
-    Matches :func:`..ops.golden.das` / :func:`..ops.das.das`.
-    """
+def _prep_scalars(dyn: dict, st: DasStatic):
+    """Scalar vector + per-transmit geometry tables from the traced
+    parameter dict.  Returns ``(scalars, t0_arr, t1_arr, n_grid, n_rf)``
+    (shared by the frame path and :func:`das_activity_tables`)."""
     family = st.family
     a = st.acquisition_count
     sparse = int(st.sparse) if family != "rca" else 0
@@ -1634,9 +1647,54 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
             t0_arr = jnp.concatenate([t0_arr, jnp.zeros(extra, jnp.float32)])
             t1_arr = jnp.concatenate([t1_arr, jnp.zeros(extra, jnp.float32)])
 
+    return scalars, t0_arr, t1_arr, n_grid, n_rf
+
+
+def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
+    """Pallas DAS dispatch for all acquisition families.  ``rf``: (C, A, S).
+
+    Matches :func:`..ops.golden.das` / :func:`..ops.das.das`.  When
+    ``dyn['das_tables']`` is present (see :func:`das_activity_tables`) the
+    precomputed activity/chunk-bound tables are used instead of computing
+    them inside the frame — the executor refreshes them on every parameter
+    push, mirroring the reference's plan-commit-time dispatch layout work
+    (beamformer_core.c:1008-1120).
+    """
+    scalars, t0_arr, t1_arr, n_grid, n_rf = _prep_scalars(dyn, st)
     fn = _das_call(st, n_grid, n_rf, interpret)
     return fn(scalars, t0_arr, t1_arr,
-              dyn["voxel_transform"], dyn["xdc_transform"], rf)
+              dyn["voxel_transform"], dyn["xdc_transform"], rf,
+              dyn.get("das_tables"))
+
+
+def das_activity_tables(dyn: dict, st: DasStatic):
+    """Precompute the per-tile activity flags and prefetched chunk-bound
+    tables for this (static config, traced parameters) pair.
+
+    The tables are pure functions of the traced geometry (f-number, speed
+    of sound, transforms, ...) — they only change when parameters change,
+    not per frame, so steady-state frames can skip the in-jit table
+    compute (~0.1-1 ms depending on grid/units).  Pass the result as
+    ``dyn['das_tables']``; anything that edits traced das parameters must
+    refresh it (build_plan does).  Shapes are checked against the current
+    knob configuration at trace time — a stale-granularity table is
+    ignored and recomputed in-frame (correct, just slower), so knob
+    sweeps without a refresh stay valid.  The bound tables are 2-D
+    (units, row-groups) precisely so different granularity splits can
+    never alias to the same shape."""
+    scalars, t0_arr, t1_arr, n_grid, n_rf = _prep_scalars(dyn, st)
+    tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)), n_grid)
+    cb_default = (32 if st.family == "rca" and _pack_iq(st)
+                  else 16 if st.family == "rca" else 8)
+    ch_block = min(_knob(st, "ch_block", cb_default), st.local_channels)
+    bounds_cb = _ch_sub(st, ch_block)
+    n_cb_bounds = _cdiv(st.local_channels, ch_block) * (ch_block // bounds_cb)
+    fn = jax.jit(functools.partial(
+        _tile_activity, st, n_grid=n_grid, n_cb=n_cb_bounds,
+        ch_block=bounds_cb, tx_block=tx_block, halves=_row_halves(st)))
+    return tuple(fn(scalars, t0_arr, t1_arr,
+                    jnp.asarray(dyn["voxel_transform"]),
+                    jnp.asarray(dyn["xdc_transform"])))
 
 
 # Backwards-compatible alias
@@ -1704,11 +1762,15 @@ def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
             _das_call.cache_clear()
             das_jit.clear_cache()
             try:
+                # measure the deployment configuration: tables precomputed
+                # under this candidate's knobs (build_plan does the same)
+                dyn_c = dict(dyn)
+                dyn_c["das_tables"] = das_activity_tables(dyn_c, st)
                 for _ in range(warmup):
-                    sync(das_jit(rf, dyn, st))
+                    sync(das_jit(rf, dyn_c, st))
                 t0 = _time.perf_counter()
                 for _ in range(iters):
-                    out = das_jit(rf, dyn, st)
+                    out = das_jit(rf, dyn_c, st)
                 sync(out)
                 dt = (_time.perf_counter() - t0) / iters
             except Exception:          # a candidate may not compile

@@ -62,6 +62,9 @@ def _sharded_fn(desc: PlanDescriptor, mesh: Mesh, axis_name: str):
         dyn = dict(dyn)
         if "das" in dyn and dyn["das"]:
             das_dyn = dict(dyn["das"])
+            # plan-level precomputed tables describe the *global* channel
+            # range — each shard recomputes its own inside the frame
+            das_dyn.pop("das_tables", None)
             das_dyn["channel_offset"] = offset.astype(jnp.int32)
             dyn["das"] = das_dyn
         out = compose_stages(desc, rf_shard, dyn,

@@ -244,6 +244,20 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
     dyn["demodulation_frequency"] = jnp.float32(
         parameters.demodulation_frequency)
 
+    # Precompute the DAS activity/chunk-bound tables at plan-build time
+    # (pure functions of the traced geometry; parameter pushes rebuild the
+    # plan, so they can never go stale) — steady-state frames skip the
+    # in-jit table compute, the analogue of the reference doing its
+    # dispatch-layout work at plan commit (beamformer_core.c:1008-1120).
+    das_sd = next((sd for sd in stage_descs if sd.das is not None), None)
+    if das_sd is not None and das_sd.das.backend == "pallas" \
+            and das_sd.das.family != "none":
+        from ..ops.das_pallas import das_activity_tables
+        try:
+            das_dyn["das_tables"] = das_activity_tables(das_dyn, das_sd.das)
+        except Exception:       # table precompute must never break planning
+            pass
+
     fn = _compiled_fn(desc)
     return CompiledPlan(descriptor=desc, fn=fn, dyn=dyn,
                         output_points=output_points, iq=iq,

@@ -148,6 +148,43 @@ def test_ch_sub_bounds(rng, kind, iq, knobs):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+def test_precomputed_activity_tables(rng):
+    """das_activity_tables precomputed at plan time match the in-frame
+    compute bitwise, and a stale-granularity table is detected by shape
+    and recomputed (not misindexed)."""
+    import jax.numpy as jnp
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+    from ogl_beamforming_tpu.ops.das import make_dynamic, make_static
+
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    rf = rng.standard_normal((8, 3, 256)).astype(np.float32)
+    st = make_static(p, iq=False)
+    dyn = make_dynamic(p)
+    base = np.asarray(dp_mod.das_pallas(rf, dyn, st, interpret=True))
+
+    dyn2 = dict(dyn)
+    dyn2["das_tables"] = dp_mod.das_activity_tables(dyn, st)
+    out = np.asarray(dp_mod.das_pallas(rf, dyn2, st, interpret=True))
+    assert np.array_equal(base, out)
+
+    # stale granularity: tables built under ch_sub=2 fed to the default
+    # kernel — shape check must reject them and fall back to in-frame
+    dp_mod.ABLATE["ch_sub"] = 2
+    try:
+        dp_mod._das_call.cache_clear()
+        stale = dp_mod.das_activity_tables(dyn, st)
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    assert stale[1].shape != dyn2["das_tables"][1].shape
+    dyn3 = dict(dyn)
+    dyn3["das_tables"] = stale
+    out3 = np.asarray(dp_mod.das_pallas(rf, dyn3, st, interpret=True))
+    assert np.array_equal(base, out3)
+
+
 @pytest.mark.parametrize("hermite", [0, 1])
 def test_hermite_cubic_iq(rng, hermite):
     """Hermite-form cubic (value+slope packed planes, 2 gather positions;
