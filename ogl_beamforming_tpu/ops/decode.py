@@ -113,7 +113,9 @@ def _decode_kernel_pipe(scale, cb, h_ref, rf_ref, out_ref):
     emitted before channel i's MXU passes, giving Mosaic's scheduler an
     explicit window to overlap the two units (the split is ~0.5 ms of pure
     VPU work at the T=96 sweep point — serialized with the MXU it pushes
-    the kernel off its HBM bound)."""
+    the kernel off its HBM bound).  Also serves f32 input (complex frames
+    bitcast to interleaved re|im planes): the hi+lo bf16 split covers 16
+    mantissa bits, ~2e-5 relative — well inside the 1e-3 contract."""
     h = h_ref[:]
     dn = (((1,), (0,)), ((), ()))
 
@@ -209,7 +211,8 @@ def load_decode_tuned(path: str) -> None:
 
 
 @functools.lru_cache(maxsize=32)
-def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=()):
+def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=(),
+                 f32_in: bool = False):
     knobs = dict(knobs)
     # Large sample blocks + channel blocking keep the grid small: the sweep
     # shapes are bandwidth-bound and per-step overhead dominated at small A.
@@ -224,11 +227,12 @@ def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=()):
         cb -= 1
     # int8 two-pass wins where per-step MXU work is small relative to the
     # VPU split overhead (T=16: 0.95 -> 0.64 ms); bf16 split measured
-    # faster for T >= 64
+    # faster for T >= 64.  f32 input (bitcast complex frames) has no exact
+    # int8 decomposition: always the bf16-split path.
     i8 = knobs.get("i8")
     if i8 is None:
         i8 = a <= 32
-    i8 = bool(i8)
+    i8 = bool(i8) and not f32_in
     if i8:
         body = _decode_kernel_i8
     elif knobs.get("pipe", 1) and cb > 1:
@@ -263,23 +267,39 @@ def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=()):
 
 def decode_hadamard_pallas(rf: jax.Array, hadamard: jax.Array,
                            interpret: bool = False) -> jax.Array:
-    """Fused int16 decode (see module notes).  ``rf``: (C, A, S) int16.
+    """Fused decode (see module notes).  ``rf``: (C, A, S) int16, f32, or
+    complex64 (demodulate-first pipelines; decoded as interleaved re|im
+    f32 planes — the contraction is over A, so interleaving commutes).
 
     Bitwise-exact for int16-range inputs (split-bf16 products are exact and
-    accumulate in f32); matches golden.decode_hadamard.
-    """
+    accumulate in f32), ~2e-5 relative for f32/complex; matches
+    golden.decode_hadamard and avoids the XLA path's materialized
+    transpose (direct (C, A, S) blocked output)."""
+    cplx = jnp.iscomplexobj(rf)
+    if cplx:
+        # interleave re|im on the sample axis (XLA fuses this into the
+        # kernel's input copy; the contraction over A commutes with it)
+        rf = jnp.stack([jnp.real(rf), jnp.imag(rf)], axis=-1)
+        rf = rf.reshape(rf.shape[0], rf.shape[1], -1)       # (C, A, 2S)
     c, a, s = rf.shape
     _load_shipped_decode_tuned()
     knobs = dict(DECODE_TUNED.get((c, a, s), ()))
     knobs.update(DECODE_ABLATE)          # explicit overrides win
-    return _decode_call(c, a, s, interpret,
-                        tuple(sorted(knobs.items())))(rf, hadamard)
+    f32_in = rf.dtype != jnp.int16
+    out = _decode_call(c, a, s, interpret, tuple(sorted(knobs.items())),
+                       f32_in)(rf, hadamard)
+    if cplx:
+        out = out.reshape(c, a, s // 2, 2)
+        out = jax.lax.complex(out[..., 0], out[..., 1])
+    return out
 
 
 def _use_pallas_decode(rf) -> bool:
-    # int16 raw input on real TPU, with a Mosaic-friendly sublane count
-    # (12/20-order Hadamards fall back to the XLA matmul).
-    return (rf.dtype == jnp.int16 and rf.shape[1] % 8 == 0
+    # int16 raw, f32, or complex64 (demod-first) input on real TPU, with a
+    # Mosaic-friendly sublane count (12/20-order Hadamards fall back to
+    # the XLA matmul).
+    return (rf.dtype in (jnp.int16, jnp.float32, jnp.complex64)
+            and rf.shape[1] % 8 == 0
             and jax.default_backend() == "tpu")
 
 

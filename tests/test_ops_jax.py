@@ -225,6 +225,31 @@ def test_decode_pallas_matches_golden(rng):
         assert np.abs(out - ref).max() <= 2e-3   # ~1e-7 relative
 
 
+def test_decode_pallas_complex_and_f32(rng):
+    """Complex64 frames (demodulate-first pipelines) and plain f32 run the
+    fused kernel as interleaved/plain f32 planes — matches golden within
+    the bf16 hi+lo split budget (~2e-5 relative)."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.ops.decode import (decode_hadamard_pallas,
+                                                hadamard_matrix)
+
+    c, a, s = 3, 16, 384
+    h = hadamard_matrix(a)
+    rf_c = (rng.standard_normal((c, a, s))
+            + 1j * rng.standard_normal((c, a, s))).astype(np.complex64) * 100
+    out = np.asarray(decode_hadamard_pallas(jnp.asarray(rf_c), h,
+                                            interpret=True))
+    ref = golden.decode_hadamard(rf_c, np.asarray(h))
+    assert out.dtype == np.complex64 and out.shape == ref.shape
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+    rf_f = rng.standard_normal((c, a, s)).astype(np.float32) * 100
+    out = np.asarray(decode_hadamard_pallas(jnp.asarray(rf_f), h,
+                                            interpret=True))
+    ref = golden.decode_hadamard(rf_f, np.asarray(h))
+    assert np.abs(out - ref).max() / np.abs(ref).max() < 1e-4
+
+
 def test_autotune_decode_interface(rng, tmp_path):
     """autotune_decode degrades gracefully when no candidate compiles
     (CPU has no Mosaic); on TPU it installs the fastest knobs in
