@@ -133,6 +133,41 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
     }
 
 
+def bench_demod_chain(c=128, a=16, s=2048, nx=256, nz=512, iters=32):
+    """Full Demodulate -> Decode -> DAS chain on Int16 RF — the exact
+    tests/throughput.c pipeline (:455-461) with a Kaiser baseband filter;
+    the decode stage runs on complex baseband (fused Pallas via
+    interleaved re|im planes)."""
+    import jax.numpy as jnp
+    from ogl_beamforming_tpu.models.presets import forces_compounding
+    from ogl_beamforming_tpu.params.enums import (FilterKind, ShaderKind)
+    from ogl_beamforming_tpu.params.types import (FilterParameters,
+                                                  KaiserFilterParameters)
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+    from ogl_beamforming_tpu.utils.filters import make_filter
+    from ogl_beamforming_tpu.utils.transfer import sync
+
+    p, pipe = forces_compounding(channel_count=c, transmit_count=a,
+                                 sample_count=s, sampling_frequency=20e6,
+                                 demodulation_frequency=5e6,
+                                 output_points=(nx, nz), demodulate=True)
+    fp = FilterParameters(kind=FilterKind.Kaiser, sampling_frequency=20e6,
+                          kaiser=KaiserFilterParameters(2e6, 4.0, 16))
+    plan = build_plan(p, pipe, {0: make_filter(fp)})
+    rf = jnp.asarray(np.random.randint(-2048, 2048, (c, a, s))
+                     .astype(np.int16))
+    dt = _timeit(lambda: plan(rf), sync, warmup=2, iters=iters)
+    voxels = nx * nz
+    return {
+        "ms_per_frame": dt * 1e3,
+        "fps": 1.0 / dt,
+        "voxch_per_s": voxels * c / dt,
+        "raw_GBps": c * a * s * 2 / dt / 1e9,
+        "config": f"demod->decode->DAS C={c} A={a} S={s} out={nx}x{nz}"
+                  " cubic IQ int16",
+    }
+
+
 def bench_hercules(iters=3):
     """HERCULES 3D volume (96^3, 128 ch x 128 tx, linear)."""
     import jax.numpy as jnp
@@ -269,6 +304,7 @@ def main():
         result["plane_wave"] = pw
         result["decode_sweep"] = bench_decode()
         result["das_chain"] = bench_das_chain()
+        result["demod_chain"] = bench_demod_chain()
         result["hercules_3d"] = bench_hercules()
         result["forces_big"] = bench_forces_big()
         result["uforces_3d"] = bench_uforces_3d()
