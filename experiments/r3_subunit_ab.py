@@ -69,11 +69,14 @@ def main():
     im = rng.standard_normal((c, 1, s)).astype(np.float32)
     rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(re, im)
     for name, knobs in [
-        ("hl_default(and-wrap)", {}),
+        ("hl_default(and-wrap+tables)", {}),
         ("hl_ch_sub8", {"ch_sub": 8}),
         ("hl_ch_sub16", {"ch_sub": 16}),
         ("hl_ch_sub8_rh2", {"ch_sub": 8, "row_halves": 2}),
         ("hl_ch_sub16_rh2", {"ch_sub": 16, "row_halves": 2}),
+        ("hl_cb16_sub8", {"ch_block": 16, "ch_sub": 8}),
+        ("hl_ts32_rh4_sub8", {"tile_sub": 32, "row_halves": 4,
+                              "ch_sub": 8}),
     ]:
         measure(name, knobs, st, dyn, rf)
 
