@@ -21,10 +21,21 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import argparse
     import time
 
     import jax
     import jax.numpy as jnp
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="comma-separated case-name substrings to run "
+                         "(e.g. 'decode', 'headline,uforces'); empty = all")
+    cli = ap.parse_args()
+    only = [s for s in cli.only.split(",") if s]
+
+    def wanted(name):
+        return not only or any(s in name for s in only)
 
     from ogl_beamforming_tpu.models import presets
     from ogl_beamforming_tpu.ops import das_pallas
@@ -49,6 +60,8 @@ def main():
         sys.exit(f"tunnel degraded (RTT {rtt:.0f} ms) — refusing to tune")
 
     def das_case(name, rf, dyn, st, iters=4):
+        if not wanted(name):
+            return
         print(f"== {name}: tuning", flush=True)
         best, results = das_pallas.autotune_das(rf, dyn, st, iters=iters,
                                                 warmup=1)
@@ -125,6 +138,8 @@ def main():
                             "ogl_beamforming_tpu", "data",
                             "decode_tuned_v5e.json")
     for t in (16, 64, 96, 256):
+        if not wanted(f"decode{t}"):
+            continue
         rf = jnp.asarray(rng.integers(-2048, 2048, (256, t, 4096))
                          .astype(np.int16))
         h = dec.hadamard_matrix(t)
