@@ -116,6 +116,13 @@ class Beamformer:
         # Number of stage-time calibrations run (one per plan rebuild);
         # exposed so tests can assert traced-parameter edits re-calibrate.
         self.calibration_count = 0
+        # Sampled per-dispatch re-timing: every N computed frames the next
+        # frame re-runs the per-stage calibration, so exported stage times
+        # track device-side drift (thermals, link state) in long runs —
+        # the fused analogue of the reference re-timing every dispatch
+        # (beamformer_core.c:1602-1628) at ~1/N overhead.  0 disables.
+        self.recalibrate_every = 256
+        self._frames_since_calibration = 0
 
     # ------------------------------------------------------------------
     # Parameter configuration
@@ -237,7 +244,13 @@ class Beamformer:
         (beamformer_core.c:1602-1628)."""
         cached = getattr(plan, "_stage_fraction_cache", None)
         if cached is not None:
-            return cached
+            if (self.recalibrate_every
+                    and self._frames_since_calibration
+                    >= self.recalibrate_every):
+                pass                        # sampled re-timing: fall through
+            else:
+                return cached
+        self._frames_since_calibration = 0
         self.calibration_count += 1
         n_stages = max(len(plan.descriptor.stages), 1)
         try:
@@ -337,6 +350,7 @@ class Beamformer:
             # (beamformer_core.c:1602-1628).
             fractions = self._stage_fractions(plan, rf)
             with self._frame_lock:
+                self._frames_since_calibration += 1
                 self.stats.record_frame([dt * f for f in fractions])
         return self._register_frame(out, ViewPlaneTag(image_plane_tag))
 

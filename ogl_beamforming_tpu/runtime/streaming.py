@@ -156,7 +156,10 @@ class StreamingSession:
                     now = time.perf_counter()
                     if prev_done_t is not None:
                         dt = now - prev_done_t
+                        # sampled per-dispatch re-timing rides the same
+                        # counter as the synchronous path (executor.py)
                         fr = bf._stage_fractions(plan, rf_dev)
+                        bf._frames_since_calibration += 1
                         bf.stats.record_frame([dt * f for f in fr])
                     prev_done_t = now
                 prev_frame = frame

@@ -407,3 +407,22 @@ def test_traced_edit_recalibrates_stage_times(rng):
     bf.push_parameters(p2)                # descriptor unchanged, traced only
     bf.push_data_with_compute(raw)
     assert bf.calibration_count == 2      # re-calibrated for the new plan
+
+
+def test_sampled_recalibration(rng):
+    """Long steady-state runs re-run the per-stage timing every
+    ``recalibrate_every`` frames (sampled per-dispatch re-timing: the
+    reference re-times every dispatch, beamformer_core.c:1602-1628)."""
+    c, a, s = 8, 4, 256
+    bf = Beamformer(voxel_block=128)
+    bf.recalibrate_every = 3
+    bf.push_parameters(_make_params(c, a, s))
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    raw = rng.integers(-512, 512, (c, a * s)).astype(np.int16)
+    for _ in range(4):
+        bf.push_data_with_compute(raw)
+    assert bf.calibration_count == 2      # initial + one sampled re-timing
+    bf.recalibrate_every = 0              # disabled: cache holds forever
+    for _ in range(8):
+        bf.push_data_with_compute(raw)
+    assert bf.calibration_count == 2
