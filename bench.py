@@ -292,6 +292,17 @@ def main():
                     help="also run the decode sweep")
     args = ap.parse_args()
 
+    # Link-health context: sustained numbers amortize the readback RTT,
+    # but a degraded attach (RTT >> 30 ms healthy baseline) inflates
+    # everything — record it so results are interpretable.
+    import jax
+    probe = np.arange(8, dtype=np.float32)
+    np.asarray(jax.device_put(probe))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(jax.device_put(probe))
+    rtt_ms = (time.perf_counter() - t0) / 3 * 1e3
+
     pw = bench_plane_wave()
     target = 0.8 * roofline_voxch(256, 1, 4096, 512, 1024)
     result = {
@@ -299,6 +310,7 @@ def main():
         "value": round(pw["voxch_per_s"], 1),
         "unit": "voxel*channel/s",
         "vs_baseline": round(pw["voxch_per_s"] / target, 6),
+        "link_rtt_ms": round(rtt_ms, 1),
     }
     if args.full:
         result["plane_wave"] = pw
