@@ -475,7 +475,8 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 
 def _pack_iq(st: DasStatic) -> bool:
     """IQ RF as one int16-pair word per sample (re<<16 | im&0xFFFF, scaled
-    to each (channel, acquisition) line's peak, carried bitcast-as-f32):
+    to each (channel, acquisition) line's peak, carried as int32 — f32
+    bitcasts get NaN-canonicalized/denormal-flushed by XLA value ops):
     ONE lane-gather per interpolation tap instead of two.  Gathers are 55%
     of the headline kernel (floor_split r3) and issue at ~3.2 cyc/vreg —
     the unpack (2 shifts + 2 converts) rides the superscalar VPU slots that
@@ -504,7 +505,7 @@ def _hermite(st: DasStatic) -> bool:
 
 def _pack_pairs(st: DasStatic) -> bool:
     """Real (non-IQ) RF as int16 sample pairs: word k = (p_k << 16) |
-    (p_{k+1} & 0xFFFF) against the line peak, carried bitcast-as-f32.
+    (p_{k+1} & 0xFFFF) against the line peak, carried as int32.
     Every gather position then yields two consecutive taps — linear
     interpolation needs ONE lane-gather per voxel (was 2), cubic two
     (was 4) — with one index/compare/clip per position.  2x the int16
@@ -578,7 +579,10 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
             smin, smax = [], []
             u = tile * n_cb + ch * n_sub + sg
             for h in range(H):
-                lo, hi = qlo_ref[u, h], qhi_ref[u, h]
+                # tables are logically (units, H) but passed flattened:
+                # 2-D SMEM operands are lane-padded x128 by the compiler
+                # (a (2048, 1) table would burn 1 MB of the 1 MB budget)
+                lo, hi = qlo_ref[u * H + h], qhi_ref[u * H + h]
                 if blo is not None:
                     lo = jnp.maximum(lo, blo)
                     hi = jnp.minimum(hi, bhi)
@@ -591,7 +595,8 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
 
     @pl.when(act_ref[tile] > 0)
     def _active_body():
-        _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first,
+        _das_tile_step(st, tx_block, ch_block, n_blocks * tx_block,
+                       tile, ch, blk, first,
                        qmin, qmax,
                        scalars_ref, t0_ref, t1_ref, lsc_ref, vt_ref,
                        xdc_ref, rf_ref,
@@ -599,7 +604,8 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
                        acc_im_ref, world_ref, herc_ref, txc_ref)
 
 
-def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
+def _das_tile_step(st, tx_block, ch_block, a_pad, tile, ch, blk, first,
+                   qb_lo, qb_hi,
                    scalars_ref,
                    t0_ref, t1_ref, lsc_ref, vt_ref, xdc_ref, rf_ref,
                    out_re_ref,
@@ -700,14 +706,15 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
 
         @pl.when(u_lo <= u_hi)
         def _():
-            _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
+            _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk,
+                              qb_lo, qb_hi,
                               scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref,
                               rf_ref,
                               out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
                               acc_im_ref, world, world_f2z, rx_cache,
                               tx_cached, txc_ref)
     else:
-        _das_unit_compute(st, tx_block, ch_block, ch, blk, None, None,
+        _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, None, None,
                           scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref,
                           rf_ref,
                           out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
@@ -715,7 +722,7 @@ def _das_tile_step(st, tx_block, ch_block, tile, ch, blk, first, qb_lo, qb_hi,
                           txc_ref)
 
 
-def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
+def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                       scalars_ref, t0_ref, t1_ref, lsc_ref, xdc_ref, rf_ref,
                       out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
                       acc_im_ref, world, world_f2z, rx_cache, tx_cached,
@@ -814,7 +821,8 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
             w_mask = apod * valid.astype(jnp.float32)
             if _pack_iq(st) or _pack_pairs(st):
                 # fold the line's int16 dequant scale into the pair weight
-                w_mask = w_mask * lsc_ref[chv, acq]
+                # (lsc is (C, A) flattened 1-D: 2-D SMEM gets lane-padded)
+                w_mask = w_mask * lsc_ref[chv * a_pad + acq]
             if qb_lo is None:   # share == 1: in-kernel reduction bounds
                 min_off = min(tp[0] for tp in taps)
                 max_off = max(tp[0] for tp in taps)
@@ -848,7 +856,7 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                 for q in range(g0, g1):
                     base = q * CHUNK
                     if _hermite(st):
-                        # two packed planes (value, slope) share each
+                        # two packed int32 planes (value, slope) share each
                         # position's index/compare/clip/mask ops.
                         src_p = jnp.broadcast_to(
                             rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
@@ -863,14 +871,10 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                                 r & (CHUNK - 1)
                             wps = jnp.where(sel, wp, 0.0)
                             wms = jnp.where(sel, wm, 0.0)
-                            gp = src_p if ABLATE.get("no_gather") else \
+                            vp = src_p if ABLATE.get("no_gather") else \
                                 jnp.take_along_axis(src_p, rc, axis=-1)
-                            gm = src_m if ABLATE.get("no_gather") else \
+                            vm = src_m if ABLATE.get("no_gather") else \
                                 jnp.take_along_axis(src_m, rc, axis=-1)
-                            vp = jax.lax.bitcast_convert_type(
-                                gp, jnp.int32)
-                            vm = jax.lax.bitcast_convert_type(
-                                gm, jnp.int32)
                             a_re = (a_re
                                     + wps * (vp >> 16).astype(jnp.float32)
                                     + wms * (vm >> 16).astype(jnp.float32))
@@ -893,19 +897,17 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                                 r & (CHUNK - 1)
                             whi = jnp.where(sel, w_hi, 0.0)
                             wlo = jnp.where(sel, w_lo, 0.0)
-                            g = src_pk if ABLATE.get("no_gather") else \
+                            v = src_pk if ABLATE.get("no_gather") else \
                                 jnp.take_along_axis(src_pk, rc, axis=-1)
-                            v = jax.lax.bitcast_convert_type(
-                                g, jnp.int32)
                             a_re = (a_re
                                     + whi * (v >> 16).astype(jnp.float32)
                                     + wlo * ((v << 16) >> 16).astype(
                                         jnp.float32))
                         continue
                     if _pack_iq(st):
-                        # one plane of int16-pair words bitcast as f32:
-                        # ONE gather per tap; unpack = 2 shifts + 2
-                        # converts on otherwise-idle VPU slots.
+                        # one plane of int32 int16-pair words: ONE gather
+                        # per tap; unpack = 2 shifts + 2 converts on
+                        # otherwise-idle VPU slots.
                         src_pk = jnp.broadcast_to(
                             rf_ref[i, j, 0:1, base:base + CHUNK].reshape(
                                 1, CHUNK), (hgt, CHUNK))
@@ -915,10 +917,8 @@ def _das_unit_compute(st, tx_block, ch_block, ch, blk, qb_lo, qb_hi,
                             rc = r if ABLATE.get("noclip") else \
                                 r & (CHUNK - 1)
                             wsel = jnp.where(sel, wt, 0.0)
-                            g = src_pk if ABLATE.get("no_gather") else \
+                            v = src_pk if ABLATE.get("no_gather") else \
                                 jnp.take_along_axis(src_pk, rc, axis=-1)
-                            v = jax.lax.bitcast_convert_type(
-                                g, jnp.int32)
                             a_re = a_re + wsel * (
                                 v >> 16).astype(jnp.float32)
                             a_im = a_im + wsel * (
@@ -1478,8 +1478,12 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             # materialize the tiled layout so block specs stay trivial.
             rf_used = jnp.tile(rf_used, (1, g_repeat, 1))
         if st.iq and packed:
-            # int16-pair packing: re<<16 | im&0xFFFF against the line peak,
-            # bitcast to f32 so the block layout/dtype stays unchanged.
+            # int16-pair packing: re<<16 | im&0xFFFF against the line peak.
+            # The packed planes stay int32 end-to-end: carrying them
+            # bitcast-as-f32 through XLA lets any value-semantic op
+            # (concatenate, select, ...) canonicalize NaN patterns / flush
+            # denormals — measured on this toolchain: concat of bitcast
+            # words corrupts them (0.17 NRMSE), int ops never do.
             rf_re = jnp.real(rf_used)
             rf_im = jnp.imag(rf_used)
             peak = jnp.maximum(jnp.max(jnp.abs(rf_re), axis=-1),
@@ -1489,8 +1493,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             ri = jnp.round(rf_re * qz[..., None]).astype(jnp.int32)
             ii = jnp.round(rf_im * qz[..., None]).astype(jnp.int32)
             words = (ri << 16) | (ii & np.int32(0xFFFF))
-            rf_planes = jax.lax.bitcast_convert_type(
-                words, jnp.float32)[:, :, None, :]
+            rf_planes = words[:, :, None, :]
             if hermite:
                 # plane 1: central-difference slope words, same line
                 # scale.  |m| <= peak so the int16 range holds; edge
@@ -1503,24 +1506,21 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                 mi = jnp.round(m_im * qz[..., None]).astype(jnp.int32)
                 words_m = (mr << 16) | (mi & np.int32(0xFFFF))
                 rf_planes = jnp.concatenate(
-                    [rf_planes,
-                     jax.lax.bitcast_convert_type(
-                         words_m, jnp.float32)[:, :, None, :]], axis=2)
+                    [rf_planes, words_m[:, :, None, :]], axis=2)
         elif st.iq:
             rf_planes = jnp.stack(
                 [jnp.real(rf_used), jnp.imag(rf_used)], axis=2)
             lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
         elif pairs_packed:
-            # real RF as (p_k, p_{k+1}) int16-pair words (see _pack_pairs)
+            # real RF as (p_k, p_{k+1}) int16-pair words (see _pack_pairs);
+            # int32 end-to-end like the packed-IQ planes above
             rf32 = rf_used.astype(jnp.float32)
             peak = jnp.max(jnp.abs(rf32), axis=-1)
             qz = jnp.where(peak > 0, np.float32(32767.0) / peak, 0.0)
             lsc = jnp.where(peak > 0, peak / np.float32(32767.0), 0.0)
             pi = jnp.round(rf32 * qz[..., None]).astype(jnp.int32)
             nxt = jnp.pad(pi[..., 1:], ((0, 0), (0, 0), (0, 1)))
-            words = (pi << 16) | (nxt & np.int32(0xFFFF))
-            rf_planes = jax.lax.bitcast_convert_type(
-                words, jnp.float32)[:, :, None, :]
+            rf_planes = ((pi << 16) | (nxt & np.int32(0xFFFF)))[:, :, None, :]
         else:
             rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
             lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
@@ -1548,8 +1548,14 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                 st, scalars, t0_arr, t1_arr, vt, xdc, n_acq_grid,
                 n_cb=n_cb_bounds, ch_block=bounds_cb, tx_block=tx_block,
                 halves=_row_halves(st))
-        out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act, qlo, qhi,
-                                    qblo, qbhi, lsc, vt, xdc, rf_planes)
+        # Scalar-prefetch operands must be 1-D: the TPU compiler lane-pads
+        # 2-D SMEM arrays x128 (a (2048, 1) bound table would take 1 MB of
+        # the 1 MB SMEM budget).  Tables stay 2-D at the API level so the
+        # shape check above still distinguishes granularity splits.
+        out_re, out_im, out_in = fn(scalars, t0_arr, t1_arr, act,
+                                    qlo.reshape(-1), qhi.reshape(-1),
+                                    qblo, qbhi, lsc.reshape(-1),
+                                    vt, xdc, rf_planes)
         n_rows, n_lanes = _axes(st)
 
         def trim(o):
