@@ -42,7 +42,25 @@ def main():
     from ogl_beamforming_tpu.ops.das import make_dynamic, make_static
     from ogl_beamforming_tpu.pipeline.plan import build_plan
 
-    rng = np.random.default_rng(11)
+    # Timing inputs are generated ON DEVICE: the tunneled attach's H2D
+    # bandwidth degrades ~100x for hours at a time while compute/readback
+    # stay healthy, and a 256 MB HERCULES upload at 0.03 GB/s would take
+    # hours.  Kernel timing is RF-data-independent (predication depends on
+    # geometry tables only).
+    def dev_normal(shape, key=0):
+        return jax.jit(lambda _: jax.random.normal(
+            jax.random.key(key), shape, jnp.float32))(0)
+
+    def dev_complex(shape, key=0):
+        return jax.jit(lambda _: jax.lax.complex(
+            jax.random.normal(jax.random.key(key), shape, jnp.float32),
+            jax.random.normal(jax.random.key(key + 1), shape,
+                              jnp.float32)))(0)
+
+    def dev_int16(shape, lo=-2048, hi=2048, key=0):
+        return jax.jit(lambda _: jax.random.randint(
+            jax.random.key(key), shape, lo, hi, jnp.int32)
+            .astype(jnp.int16))(0)
     out_path = os.path.join(os.path.dirname(__file__), "..",
                             "ogl_beamforming_tpu", "data", "tuned_v5e.json")
 
@@ -78,10 +96,7 @@ def main():
     plan = build_plan(p, pipe, {})
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=True)
-    re = rng.standard_normal((c, 1, s)).astype(np.float32)
-    im = rng.standard_normal((c, 1, s)).astype(np.float32)
-    rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(jnp.asarray(re),
-                                                     jnp.asarray(im))
+    rf = dev_complex((c, 1, s))
     das_case("plane_wave_headline", rf, plan.dyn["das"], st, iters=24)
 
     # 2. FORCES compounding (decode->DAS chain DAS stage)
@@ -93,7 +108,7 @@ def main():
     plan = build_plan(p, pipe, {})
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=False)
-    rf = jnp.asarray(rng.standard_normal((128, 16, 2048)).astype(np.float32))
+    rf = dev_normal((128, 16, 2048))
     das_case("forces_chain", rf, plan.dyn["das"], st, iters=16)
 
     # 3. HERCULES 3D
@@ -103,7 +118,7 @@ def main():
     plan = build_plan(p, pipe, {})
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=False)
-    rf = jnp.asarray(rng.standard_normal((128, 128, 4096)).astype(np.float32))
+    rf = dev_normal((128, 128, 4096))
     das_case("hercules_3d", rf, plan.dyn["das"], st, iters=3)
 
     # 4. FORCES on the big grid (tx_block=8 wins here but loses the
@@ -116,7 +131,7 @@ def main():
     plan = build_plan(p, pipe, {})
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=False)
-    rf = jnp.asarray(rng.standard_normal((256, 16, 2048)).astype(np.float32))
+    rf = dev_normal((256, 16, 2048))
     das_case("forces_big", rf, plan.dyn["das"], st, iters=16)
 
     # 5. uFORCES volumetric (sparse tx + coherency)
@@ -124,9 +139,8 @@ def main():
     plan = build_plan(p, pipe, {})
     sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
     st = dataclasses.replace(sd.das, iq=False)
-    rf = jnp.asarray(rng.standard_normal(
-        (st.channel_count, st.acquisition_count,
-         st.sample_count)).astype(np.float32))
+    rf = dev_normal((st.channel_count, st.acquisition_count,
+                     st.sample_count))
     das_case("uforces_3d", rf, plan.dyn["das"], st, iters=2)
 
     das_pallas.save_tuned(out_path)
@@ -140,8 +154,7 @@ def main():
     for t in (16, 64, 96, 256):
         if not wanted(f"decode{t}"):
             continue
-        rf = jnp.asarray(rng.integers(-2048, 2048, (256, t, 4096))
-                         .astype(np.int16))
+        rf = dev_int16((256, t, 4096))
         h = dec.hadamard_matrix(t)
         print(f"== decode T={t}: tuning", flush=True)
         best, results = dec.autotune_decode(rf, h, iters=40, warmup=4,
