@@ -286,6 +286,48 @@ def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
     return nx * nz * c * a / t
 
 
+def numerics_canary():
+    """Small FORCES cubic-IQ frame vs the NumPy golden oracle ON HARDWARE.
+
+    Timing numbers are meaningless if the kernel is wrong, and toolchain
+    updates have broken hardware numerics without touching the CPU test
+    suite (mid-round-3: XLA started canonicalizing f32-bitcast packed
+    words, 0.17 NRMSE).  Returns the NRMSE; main() zeroes vs_baseline if
+    it exceeds the 1e-3 golden contract so a regression can never be
+    recorded as throughput.
+    """
+    import dataclasses
+
+    import jax
+
+    from ogl_beamforming_tpu.ops import golden
+    from ogl_beamforming_tpu.ops.das import das_jit, make_dynamic, make_static
+    from ogl_beamforming_tpu.params.enums import (AcquisitionKind,
+                                                  InterpolationMode)
+    from ogl_beamforming_tpu.utils.transfer import to_host
+    from ogl_beamforming_tpu.utils.transforms import das_transform_2d_xz
+
+    rng = np.random.default_rng(7)
+    c, a, s = 32, 8, 512
+    pitch = 0.3e-3
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s, sampling_frequency=10e6,
+        demodulation_frequency=5e6, speed_of_sound=1500.0,
+        interpolation_mode=InterpolationMode.Cubic, f_number=0.8,
+        voxel_transform=np.asarray(
+            das_transform_2d_xz([0, 1e-3], [(c - 1) * pitch, 12e-3])),
+        xdc_element_pitch=np.asarray([pitch, pitch], np.float32),
+        output_points=(64, 128, 1))
+    re = rng.standard_normal((c, a, s)).astype(np.float32)
+    im = rng.standard_normal((c, a, s)).astype(np.float32)
+    ref = golden.das(re + 1j * im, dp)
+    st = dataclasses.replace(make_static(dp, iq=True), backend="pallas")
+    rf = jax.jit(lambda x, y: jax.lax.complex(x, y))(re, im)
+    out = to_host(das_jit(rf, make_dynamic(dp), st))
+    return float(np.linalg.norm(out - ref) / np.linalg.norm(ref))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
@@ -303,6 +345,7 @@ def main():
         np.asarray(jax.device_put(probe))
     rtt_ms = (time.perf_counter() - t0) / 3 * 1e3
 
+    canary = numerics_canary()
     pw = bench_plane_wave()
     target = 0.8 * roofline_voxch(256, 1, 4096, 512, 1024)
     result = {
@@ -311,7 +354,11 @@ def main():
         "unit": "voxel*channel/s",
         "vs_baseline": round(pw["voxch_per_s"] / target, 6),
         "link_rtt_ms": round(rtt_ms, 1),
+        "canary_nrmse": round(canary, 8),
     }
+    if canary > 1e-3:       # numerics broken: throughput is meaningless
+        result["vs_baseline"] = 0.0
+        result["canary_fail"] = True
     if args.full:
         result["plane_wave"] = pw
         result["decode_sweep"] = bench_decode()

@@ -511,8 +511,11 @@ def _pack_pairs(st: DasStatic) -> bool:
     (was 4) — with one index/compare/clip per position.  2x the int16
     bytes = same VMEM block size as the unpacked f32 plane.  Same
     quantization budget as packed IQ (~3e-5 NRMSE vs the line peak);
-    ``pack_pairs=0`` restores exact f32."""
-    return (bool(_knob(st, "pack_pairs", 0)) and not st.iq
+    ``pack_pairs=0`` restores exact f32.  Default on since round 3's
+    post-toolchain retune: it won every real-RF family in a healthy
+    window (forces chain 10.4->7.3, forces big 20.2->15.0, HERCULES 3D
+    1642->392, uFORCES 3D 932->649 ms before tx_block pairing)."""
+    return (bool(_knob(st, "pack_pairs", 1)) and not st.iq
             and st.interpolation_mode in (InterpolationMode.Linear,
                                           InterpolationMode.Cubic))
 
@@ -1722,12 +1725,12 @@ def _default_candidates(st: DasStatic):
     if st.family == "hercules":
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
                 {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1},
-                {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8},
+                {"pack_pairs": 0}, {"pack_pairs": 0, "tx_block": 8},
                 {"ch_sub": 4}]
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
             {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
-            {"pack_pairs": 1}, {"pack_pairs": 1, "tx_block": 8},
+            {"pack_pairs": 0}, {"pack_pairs": 0, "tx_block": 8},
             {"ch_sub": 4}]
 
 

@@ -205,17 +205,19 @@ def test_hermite_cubic_iq(rng, hermite):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+@pytest.mark.parametrize("pack", [0, 1])
 @pytest.mark.parametrize("interp", [InterpolationMode.Linear,
                                     InterpolationMode.Cubic])
-def test_pack_pairs_real_rf(rng, interp):
-    """Sample-pair packed real RF (word k = (p_k, p_{k+1}) int16) matches
-    golden within the quantization budget: linear needs ONE gather per
-    voxel, cubic two."""
+def test_pack_pairs_real_rf(rng, interp, pack):
+    """Sample-pair packed real RF (word k = (p_k, p_{k+1}) int16, the
+    real-RF default since round 3's retune) matches golden within the
+    quantization budget — linear needs ONE gather per voxel, cubic two —
+    and ``pack_pairs=0`` still selects the exact-f32 plane."""
     from ogl_beamforming_tpu.ops import das_pallas as dp_mod
 
     p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
                 interpolation_mode=interp)
-    dp_mod.ABLATE["pack_pairs"] = 1
+    dp_mod.ABLATE["pack_pairs"] = pack
     try:
         ref, out = _run(rng, p, iq=False)
     finally:
