@@ -270,7 +270,7 @@ def _interp_weights(st: DasStatic, t):
     if mode == InterpolationMode.Nearest:
         return [(0, jnp.float32(1.0))]
     if mode == InterpolationMode.Linear:
-        if _pack_pairs(st):
+        if _pack_pairs(st) or _pair_iq(st):
             # (position, hi-weight, lo-weight): word k = (p_k, p_{k+1})
             return [(0, 1.0 - t, t)]
         return [(0, 1.0 - t), (1, t)]
@@ -280,6 +280,10 @@ def _interp_weights(st: DasStatic, t):
     h01 = -2 * t3 + 3 * t2
     h10 = t3 - 2 * t2 + t
     h11 = t3 - t2
+    if _pair_iq(st):
+        # single position: (value-hi, value-lo, slope-hi, slope-lo)
+        # weights for the pair-packed value and slope planes at word k.
+        return [(0, h00, h01, h10, h11)]
     if _hermite(st):
         # (position, value-weight, slope-weight): the slope plane holds
         # m_k = (p_{k+1} - p_{k-1})/2, so this equals the 4-tap
@@ -499,7 +503,8 @@ def _hermite(st: DasStatic) -> bool:
     block + hidden DMA; same footprint as unpacked IQ).  Default on:
     5.98 vs 6.21 ms best-non-hermite on the headline (two-pass pretune);
     ``hermite=0`` restores the 4-tap form."""
-    return (bool(_knob(st, "hermite", 1)) and _pack_iq(st)
+    return (bool(_knob(st, "hermite", 1)) and _pack_iq(st) and
+            not _pair_iq(st)
             and st.interpolation_mode == InterpolationMode.Cubic)
 
 
@@ -516,6 +521,24 @@ def _pack_pairs(st: DasStatic) -> bool:
     window (forces chain 10.4->7.3, forces big 20.2->15.0, HERCULES 3D
     1642->392, uFORCES 3D 932->649 ms before tx_block pairing)."""
     return (bool(_knob(st, "pack_pairs", 1)) and not st.iq
+            and st.interpolation_mode in (InterpolationMode.Linear,
+                                          InterpolationMode.Cubic))
+
+
+def _pair_iq(st: DasStatic) -> bool:
+    """Packed-IQ planes as consecutive-sample *pairs*: plane words at k are
+    (re_k, re_{k+1}) / (im_k, im_{k+1}) int16 pairs — and, for cubic, two
+    more planes carry the Hermite slope pairs (mre_k, mre_{k+1}) /
+    (mim_k, mim_{k+1}).  Every quantity the Hermite form gathers from
+    positions k and k+1 is then reachable from position k alone, so ONE
+    index/compare/clip/select computation serves all gathers of a
+    (pair, chunk) — linear: 2 gathers + 1 index set (was 2 + 2), cubic:
+    4 gathers + 1 index set (was 4 + 2).  Same int16-vs-line-peak
+    quantities as ``pack_iq``/``hermite`` (slopes obey |m| <= peak), so
+    numerics are unchanged; the chunk loop is instruction-issue-bound, so
+    the saved index/select ops are the point.  Opt-in pending hardware A/B
+    (``pair_iq=1``); autotune candidates cover it."""
+    return (bool(_knob(st, "pair_iq", 0)) and _pack_iq(st)
             and st.interpolation_mode in (InterpolationMode.Linear,
                                           InterpolationMode.Cubic))
 
@@ -858,6 +881,52 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                       for tp in tap_w]
                 for q in range(g0, g1):
                     base = q * CHUNK
+                    if _pair_iq(st):
+                        # pair-packed planes (re/im value pairs; cubic
+                        # adds slope pairs): ONE index/compare/clip/select
+                        # set serves every gather of the (pair, chunk).
+                        n_pl = (4 if st.interpolation_mode
+                                == InterpolationMode.Cubic else 2)
+                        srcs = [jnp.broadcast_to(
+                            rf_ref[i, j, p:p + 1,
+                                   base:base + CHUNK].reshape(1, CHUNK),
+                            (hgt, CHUNK)) for p in range(n_pl)]
+                        for tp in tw:
+                            r = k_s + tp[0] - base
+                            sel = r.astype(jnp.uint32) < CHUNK
+                            rc = r if ABLATE.get("noclip") else \
+                                r & (CHUNK - 1)
+                            vs = []
+                            for p in range(n_pl):
+                                v = srcs[p] if ABLATE.get("no_gather") \
+                                    else jnp.take_along_axis(srcs[p], rc,
+                                                             axis=-1)
+                                vs.append(jnp.where(sel, v, 0))
+                            w = tp[1:]
+                            a_re = (a_re
+                                    + w[0] * (vs[0] >> 16).astype(
+                                        jnp.float32)
+                                    + w[1] * ((vs[0] << 16) >> 16).astype(
+                                        jnp.float32))
+                            a_im = (a_im
+                                    + w[0] * (vs[1] >> 16).astype(
+                                        jnp.float32)
+                                    + w[1] * ((vs[1] << 16) >> 16).astype(
+                                        jnp.float32))
+                            if n_pl == 4:
+                                a_re = (a_re
+                                        + w[2] * (vs[2] >> 16).astype(
+                                            jnp.float32)
+                                        + w[3] * ((vs[2] << 16)
+                                                  >> 16).astype(
+                                            jnp.float32))
+                                a_im = (a_im
+                                        + w[2] * (vs[3] >> 16).astype(
+                                            jnp.float32)
+                                        + w[3] * ((vs[3] << 16)
+                                                  >> 16).astype(
+                                            jnp.float32))
+                        continue
                     if _hermite(st):
                         # two packed int32 planes (value, slope) share each
                         # position's index/compare/clip/mask ops.
@@ -1405,7 +1474,12 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     packed = _pack_iq(st)
     hermite = _hermite(st)
     pairs_packed = _pack_pairs(st)
-    n_planes = (2 if (st.iq and not packed) or hermite else 1)
+    pair_planes = _pair_iq(st)
+    if pair_planes:
+        n_planes = (4 if st.interpolation_mode == InterpolationMode.Cubic
+                    else 2)
+    else:
+        n_planes = (2 if (st.iq and not packed) or hermite else 1)
     rf_block = (ch_block, tx_block, n_planes, s_pad)
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
                                n_cb_bounds, n_blocks)
@@ -1495,8 +1569,29 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             lsc = jnp.where(peak > 0, peak / np.float32(32767.0), 0.0)
             ri = jnp.round(rf_re * qz[..., None]).astype(jnp.int32)
             ii = jnp.round(rf_im * qz[..., None]).astype(jnp.int32)
-            words = (ri << 16) | (ii & np.int32(0xFFFF))
-            rf_planes = words[:, :, None, :]
+            if pair_planes:
+                # consecutive-sample pairs per plane (see _pair_iq); the
+                # trailing word's low half pads to 0 (cubic's valid mask
+                # keeps k < S-2, so it is never a real tap).
+                def pair(v):
+                    nxt = jnp.pad(v[..., 1:], ((0, 0), (0, 0), (0, 1)))
+                    return (v << 16) | (nxt & np.int32(0xFFFF))
+
+                planes = [pair(ri), pair(ii)]
+                if n_planes == 4:
+                    m_re = jnp.pad(
+                        (rf_re[..., 2:] - rf_re[..., :-2]) * 0.5,
+                        ((0, 0), (0, 0), (1, 1)))
+                    m_im = jnp.pad(
+                        (rf_im[..., 2:] - rf_im[..., :-2]) * 0.5,
+                        ((0, 0), (0, 0), (1, 1)))
+                    mr = jnp.round(m_re * qz[..., None]).astype(jnp.int32)
+                    mi = jnp.round(m_im * qz[..., None]).astype(jnp.int32)
+                    planes += [pair(mr), pair(mi)]
+                rf_planes = jnp.stack(planes, axis=2)
+            else:
+                words = (ri << 16) | (ii & np.int32(0xFFFF))
+                rf_planes = words[:, :, None, :]
             if hermite:
                 # plane 1: central-difference slope words, same line
                 # scale.  |m| <= peak so the int16 range holds; edge
@@ -1726,11 +1821,12 @@ def _default_candidates(st: DasStatic):
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
                 {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1},
                 {"pack_pairs": 0}, {"pack_pairs": 0, "tx_block": 8},
-                {"ch_sub": 4}]
+                {"pair_iq": 1}, {"ch_sub": 4}]
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
             {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
             {"pack_pairs": 0}, {"pack_pairs": 0, "tx_block": 8},
+            {"pair_iq": 1}, {"pair_iq": 1, "ch_block": 16},
             {"ch_sub": 4}]
 
 

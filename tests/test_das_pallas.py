@@ -205,6 +205,26 @@ def test_hermite_cubic_iq(rng, hermite):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+@pytest.mark.parametrize("interp", [InterpolationMode.Linear,
+                                    InterpolationMode.Cubic])
+def test_pair_iq(rng, interp):
+    """Pair-packed packed-IQ planes (value pairs + cubic slope pairs,
+    one index set per (pair, chunk)) carry the exact Hermite/linear
+    quantities — same int16 quantization budget as pack_iq."""
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=interp)
+    dp_mod.ABLATE["pair_iq"] = 1
+    try:
+        ref, out = _run(rng, p, iq=True)
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
 @pytest.mark.parametrize("pack", [0, 1])
 @pytest.mark.parametrize("interp", [InterpolationMode.Linear,
                                     InterpolationMode.Cubic])
