@@ -535,9 +535,12 @@ def _pair_iq(st: DasStatic) -> bool:
     (pair, chunk) — linear: 2 gathers + 1 index set (was 2 + 2), cubic:
     4 gathers + 1 index set (was 4 + 2).  Same int16-vs-line-peak
     quantities as ``pack_iq``/``hermite`` (slopes obey |m| <= peak), so
-    numerics are unchanged; the chunk loop is instruction-issue-bound, so
-    the saved index/select ops are the point.  Opt-in pending hardware A/B
-    (``pair_iq=1``); autotune candidates cover it."""
+    numerics are unchanged (1.1e-7 vs hermite on hardware).  Hardware A/B
+    (experiments/pair_iq_ab.py): dead-even with the hermite default on the
+    headline (5.79 vs 5.79 ms) — the chunk loop is *gather*-issue-bound,
+    not op-issue-bound, so the saved index/select ops buy nothing and the
+    2x RF planes cost extra pack prep.  Stays opt-in (``pair_iq=1``);
+    autotune candidates cover it in case other configs differ."""
     return (bool(_knob(st, "pair_iq", 0)) and _pack_iq(st)
             and st.interpolation_mode in (InterpolationMode.Linear,
                                           InterpolationMode.Cubic))
