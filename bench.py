@@ -133,6 +133,44 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
     }
 
 
+def bench_plane_wave_batched(B=4, c=256, s=4096, nx=512, nz=1024, iters=8):
+    """Frame-batched headline: B frames per kernel launch.  The per-pair
+    delay/index math, apodization, predication, and grid overhead are
+    geometry-only and shared across the batch; only the RF gathers scale
+    with B — the TPU-native throughput mode for offline datasets and
+    frame averaging (the reference's sum.glsl / output_points.w path,
+    computed in one launch).  Reported per frame."""
+    import dataclasses
+
+    import jax
+    from ogl_beamforming_tpu.models.presets import plane_wave_2d
+    from ogl_beamforming_tpu.ops import das_pallas
+    from ogl_beamforming_tpu.ops.das import das_jit
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+    from ogl_beamforming_tpu.utils.transfer import sync
+
+    p, pipe = plane_wave_2d(channel_count=c, sample_count=s,
+                            output_points=(nx, nz))
+    plan = build_plan(p, pipe, {})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    st = dataclasses.replace(sd.das, iq=True, frame_batch=B)
+    re = np.random.randn(B, c, 1, s).astype(np.float32)
+    im = np.random.randn(B, c, 1, s).astype(np.float32)
+    rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(re, im)
+    dyn = dict(plan.dyn["das"])
+    dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st)
+    dt = _timeit(lambda: das_jit(rf, dyn, st), sync, warmup=2,
+                 iters=iters) / B
+    voxels = nx * nz
+    return {
+        "ms_per_frame": dt * 1e3,
+        "fps": 1.0 / dt,
+        "voxch_per_s": voxels * c / dt,
+        "config": f"plane-wave C={c} S={s} out={nx}x{nz} cubic IQ "
+                  f"frame_batch={B}",
+    }
+
+
 def bench_demod_chain(c=128, a=16, s=2048, nx=256, nz=512, iters=32):
     """Full Demodulate -> Decode -> DAS chain on Int16 RF — the exact
     tests/throughput.c pipeline (:455-461) with a Kaiser baseband filter;
@@ -361,6 +399,7 @@ def main():
         result["canary_fail"] = True
     if args.full:
         result["plane_wave"] = pw
+        result["plane_wave_batched"] = bench_plane_wave_batched()
         result["decode_sweep"] = bench_decode()
         result["das_chain"] = bench_das_chain()
         result["demod_chain"] = bench_demod_chain()

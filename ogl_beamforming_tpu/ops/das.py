@@ -69,6 +69,13 @@ class DasStatic:
     """Kernel-grid channel count when != channel_count: the per-shard local
     channel count under channel-axis sharding (parallel/sharding.py) —
     channel_count stays global for element-geometry terms."""
+    frame_batch: int = 1
+    """Frames beamformed per kernel launch (``rf``: (B, C, A, S)).  The
+    per-pair delay/index math, apodization, chunk predication, and grid
+    overhead are pure geometry — batching shares them across B frames and
+    only the RF gathers scale, so offline/averaged throughput rises toward
+    the gather bound.  The TPU-native analogue of the reference's frame
+    averaging (sum.glsl + output_points.w), computed in one launch."""
 
     @property
     def family(self) -> str:
@@ -475,11 +482,24 @@ _FAMILY_BLOCK = {
 # ---------------------------------------------------------------------------
 
 def das(rf: jax.Array, dyn: dict, st: DasStatic):
-    """DAS a full frame.  ``rf``: (C, A, S).  Returns the (nx, ny, nz)
-    coherent volume, or ``(coherent, incoherent)`` with coherency weighting.
+    """DAS a full frame.  ``rf``: (C, A, S) — or (B, C, A, S) when
+    ``st.frame_batch == B > 1``, returning (B, nx, ny, nz).  Returns the
+    (nx, ny, nz) coherent volume, or ``(coherent, incoherent)`` with
+    coherency weighting.
 
     Traceable; wrap in jit with ``st`` static (see :func:`das_jit`).
     """
+    if st.frame_batch > 1:
+        if rf.shape[0] != st.frame_batch:
+            raise ValueError(f"rf leading dim {rf.shape[0]} != "
+                             f"frame_batch {st.frame_batch}")
+        if st.backend in ("pallas", "pallas_interpret"):
+            from .das_pallas import das_pallas
+            return das_pallas(rf, dyn, st,
+                              interpret=st.backend == "pallas_interpret")
+        # XLA fallback / reference path: map the single-frame kernel.
+        st1 = dataclasses.replace(st, frame_batch=1)
+        return jax.vmap(lambda f: das(f, dyn, st1))(rf)
     if st.family == "none":
         # Reference dispatch has no case for this kind (das.glsl:381-400):
         # the frame stays zero.

@@ -100,9 +100,15 @@ def _load_shipped_tuned():
 
 
 def _tune_key(st):
-    return (st.family, int(st.interpolation_mode), st.iq,
-            st.acquisition_count, st.local_channels, st.sample_count,
-            tuple(st.output_points))
+    key = (st.family, int(st.interpolation_mode), st.iq,
+           st.acquisition_count, st.local_channels, st.sample_count,
+           tuple(st.output_points))
+    # Batched configs tune separately (VMEM/register pressure differs);
+    # appended only when batched so shipped single-frame tables keep
+    # matching their original keys.
+    if st.frame_batch > 1:
+        key = key + (("fb", st.frame_batch),)
+    return key
 
 
 def _knob(st, name, default):
@@ -542,6 +548,7 @@ def _pair_iq(st: DasStatic) -> bool:
     2x RF planes cost extra pack prep.  Stays opt-in (``pair_iq=1``);
     autotune candidates cover it in case other configs differ."""
     return (bool(_knob(st, "pair_iq", 0)) and _pack_iq(st)
+            and st.frame_batch == 1
             and st.interpolation_mode in (InterpolationMode.Linear,
                                           InterpolationMode.Cubic))
 
@@ -760,15 +767,21 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
     nq = _cdiv(s, CHUNK)
     iq = st.iq
     ts = _tile_rows(st)
-    sum_re = jnp.zeros((ts, TILE_LANE), jnp.float32)
-    sum_im = jnp.zeros((ts, TILE_LANE), jnp.float32)
-    sum_in = jnp.zeros((ts, TILE_LANE), jnp.float32)
+    B = st.frame_batch
+    # Per-frame unit sums (B == 1 keeps the original single-plane shape;
+    # batched units hold one pair per frame — geometry work is shared,
+    # only gathers/accumulation scale with B).
+    sum_re = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
+    sum_im = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
+    sum_in = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
     if ABLATE.get("no_unit"):      # floor ablation: grid+world+output only
-        out_re_ref[:] += sum_re
-        if iq:
-            out_im_ref[:] += sum_im
-        if st.coherency_weighting:
-            out_in_ref[:] += sum_in
+        for fb in range(B):
+            osel = (slice(None),) if B == 1 else (fb,)
+            out_re_ref[osel] += sum_re[fb]
+            if iq:
+                out_im_ref[osel] += sum_im[fb]
+            if st.coherency_weighting:
+                out_in_ref[osel] += sum_in[fb]
         return
 
     # ch_block channels per grid step: amortizes per-step fixed costs
@@ -848,9 +861,12 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                 taps = _interp_weights(st, t)
 
             w_mask = apod * valid.astype(jnp.float32)
-            if _pack_iq(st) or _pack_pairs(st):
+            if (_pack_iq(st) or _pack_pairs(st)) and B == 1:
                 # fold the line's int16 dequant scale into the pair weight
-                # (lsc is (C, A) flattened 1-D: 2-D SMEM gets lane-padded)
+                # (lsc is (C, A) flattened 1-D: 2-D SMEM gets lane-padded).
+                # Batched units instead scale each frame's accumulator at
+                # flush time (scale is per (pair, frame); weights stay
+                # shared across frames).
                 w_mask = w_mask * lsc_ref[chv * a_pad + acq]
             if qb_lo is None:   # share == 1: in-kernel reduction bounds
                 min_off = min(tp[0] for tp in taps)
@@ -866,9 +882,17 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
             # (position, value-weight, slope-weight).
             tap_w = [(tp[0],) + tuple(w_mask * w for w in tp[1:])
                      for tp in taps]
-            acc_re_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
-            if iq:
-                acc_im_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
+            if B == 1:
+                acc_re_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
+                if iq:
+                    acc_im_ref[slot] = jnp.zeros((ts, TILE_LANE),
+                                                 jnp.float32)
+            else:
+                acc_re_ref[:, slot] = jnp.zeros((B, ts, TILE_LANE),
+                                                jnp.float32)
+                if iq:
+                    acc_im_ref[:, slot] = jnp.zeros((B, ts, TILE_LANE),
+                                                    jnp.float32)
             preps.append((slot, i, j, k, tap_w, index))
 
         # Static chunk loop, predicated per *group* of chunks: branches run
@@ -1030,6 +1054,84 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                 if iq:
                     acc_im_ref[slot, sub] = a_im
 
+        def chunk_body_batched(sub, hgt, g0, g1):
+            """Batched gather/accumulate: per-tap index/compare/clip state
+            and weights are computed ONCE per (pair, chunk) and shared by
+            all B frames — only the plane gathers and FMAs scale with B.
+            The per-(pair, frame) int16 dequant scale is applied at flush
+            (weights are frame-independent here)."""
+            n_pl = (2 if _hermite(st) or (iq and not _pack_iq(st)) else 1)
+            for slot, i, j, k, tap_w, _ in preps:
+                k_s = k[sub]
+                tw = [(tp[0],) + tuple(w[sub] for w in tp[1:])
+                      for tp in tap_w]
+                for q in range(g0, g1):
+                    base = q * CHUNK
+                    taps_state = []
+                    for tp in tw:
+                        r = k_s + tp[0] - base
+                        sel = r.astype(jnp.uint32) < CHUNK
+                        rc = r & (CHUNK - 1)
+                        wsels = tuple(jnp.where(sel, w, 0.0)
+                                      for w in tp[1:])
+                        taps_state.append((rc, wsels))
+                    for fb in range(B):
+                        srcs = [jnp.broadcast_to(
+                            rf_ref[i, j, fb * n_pl + p:fb * n_pl + p + 1,
+                                   base:base + CHUNK].reshape(1, CHUNK),
+                            (hgt, CHUNK)) for p in range(n_pl)]
+                        a_re = acc_re_ref[fb, slot, sub]
+                        a_im = acc_im_ref[fb, slot, sub] if iq else None
+                        for rc, wsels in taps_state:
+                            if _hermite(st):
+                                vp = jnp.take_along_axis(srcs[0], rc,
+                                                         axis=-1)
+                                vm = jnp.take_along_axis(srcs[1], rc,
+                                                         axis=-1)
+                                wps, wms = wsels
+                                a_re = (a_re
+                                        + wps * (vp >> 16).astype(
+                                            jnp.float32)
+                                        + wms * (vm >> 16).astype(
+                                            jnp.float32))
+                                a_im = (a_im
+                                        + wps * ((vp << 16) >> 16).astype(
+                                            jnp.float32)
+                                        + wms * ((vm << 16) >> 16).astype(
+                                            jnp.float32))
+                            elif _pack_iq(st):
+                                v = jnp.take_along_axis(srcs[0], rc,
+                                                        axis=-1)
+                                (wt,) = wsels
+                                a_re = a_re + wt * (v >> 16).astype(
+                                    jnp.float32)
+                                a_im = a_im + wt * ((v << 16) >> 16).astype(
+                                    jnp.float32)
+                            elif _pack_pairs(st):
+                                v = jnp.take_along_axis(srcs[0], rc,
+                                                        axis=-1)
+                                w_hi, w_lo = wsels
+                                a_re = (a_re
+                                        + w_hi * (v >> 16).astype(
+                                            jnp.float32)
+                                        + w_lo * ((v << 16) >> 16).astype(
+                                            jnp.float32))
+                            elif iq:
+                                (wt,) = wsels
+                                a_re = a_re + wt * jnp.take_along_axis(
+                                    srcs[0], rc, axis=-1)
+                                a_im = a_im + wt * jnp.take_along_axis(
+                                    srcs[1], rc, axis=-1)
+                            else:
+                                (wt,) = wsels
+                                a_re = a_re + wt * jnp.take_along_axis(
+                                    srcs[0], rc, axis=-1)
+                        acc_re_ref[fb, slot, sub] = a_re
+                        if iq:
+                            acc_im_ref[fb, slot, sub] = a_im
+
+        body = chunk_body if B == 1 else chunk_body_batched
+
         n_h = len(h_bounds) if h_bounds is not None else 1
         hs = ts // n_h
         for g0 in range(0, nq, group) if not ABLATE.get("no_chunk_loop") \
@@ -1044,7 +1146,7 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
             @pl.when(cond)
             def _(g0=g0, g1=g1):
                 if n_h == 1:
-                    chunk_body(slice(None), ts, g0, g1)
+                    body(slice(None), ts, g0, g1)
                 else:
                     # Nested per-row-group regions: the outer (union)
                     # branch count stays as before; inner branches only
@@ -1055,12 +1157,14 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
 
                         @pl.when((g1 - 1 >= hlo) & (g0 <= hhi))
                         def _(h=h, g0=g0, g1=g1):
-                            chunk_body(slice(h * hs, (h + 1) * hs), hs,
-                                       g0, g1)
+                            body(slice(h * hs, (h + 1) * hs), hs,
+                                 g0, g1)
 
+        scaled = (_pack_iq(st) or _pack_pairs(st)) and B > 1
         for slot, i, j, k, tap_w, index in preps:
             if iq and not ABLATE.get("no_rotation"):
-                # rotate the (tile, c, a) contribution once (das.glsl:51-59)
+                # rotate the (tile, c, a) contribution once
+                # (das.glsl:51-59); phase planes are frame-independent.
                 if ABLATE.get("exact_rot"):
                     arg = (np.float32(2 * np.pi) * scalars_ref[_SC_FDEMOD]
                            * index / scalars_ref[_SC_FS])
@@ -1070,28 +1174,45 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                     cycles = (scalars_ref[_SC_FDEMOD]
                               / scalars_ref[_SC_FS]) * index
                     ph_im, ph_re = _sincos_2pi(cycles)
-                a_re = acc_re_ref[slot]
-                a_im = acc_im_ref[slot]
-                rot_re = a_re * ph_re - a_im * ph_im
-                rot_im = a_re * ph_im + a_im * ph_re
-                sum_re = sum_re + rot_re
-                sum_im = sum_im + rot_im
-                if st.coherency_weighting:
-                    sum_in = sum_in + jnp.sqrt(rot_re * rot_re
-                                               + rot_im * rot_im)
-            elif iq:
-                sum_re = sum_re + acc_re_ref[slot]
-                sum_im = sum_im + acc_im_ref[slot]
             else:
-                sum_re = sum_re + acc_re_ref[slot]
-                if st.coherency_weighting:
-                    sum_in = sum_in + jnp.abs(acc_re_ref[slot])
+                ph_re = ph_im = None
+            if scaled:
+                chv = ch * ch_block + i if ch_block > 1 else ch
+                acq = blk * tx_block + j
+            for fb in range(B):
+                asel = (slot,) if B == 1 else (fb, slot)
+                a_re = acc_re_ref[asel]
+                a_im = acc_im_ref[asel] if iq else None
+                if scaled:
+                    # per-(pair, frame) int16 dequant scale, deferred from
+                    # the (shared) tap weights
+                    s_l = lsc_ref[(chv * a_pad + acq) * B + fb]
+                    a_re = a_re * s_l
+                    if iq:
+                        a_im = a_im * s_l
+                if ph_re is not None:
+                    rot_re = a_re * ph_re - a_im * ph_im
+                    rot_im = a_re * ph_im + a_im * ph_re
+                    sum_re[fb] = sum_re[fb] + rot_re
+                    sum_im[fb] = sum_im[fb] + rot_im
+                    if st.coherency_weighting:
+                        sum_in[fb] = sum_in[fb] + jnp.sqrt(
+                            rot_re * rot_re + rot_im * rot_im)
+                elif iq:
+                    sum_re[fb] = sum_re[fb] + a_re
+                    sum_im[fb] = sum_im[fb] + a_im
+                else:
+                    sum_re[fb] = sum_re[fb] + a_re
+                    if st.coherency_weighting:
+                        sum_in[fb] = sum_in[fb] + jnp.abs(a_re)
 
-    out_re_ref[:] += sum_re
-    if iq:
-        out_im_ref[:] += sum_im
-    if st.coherency_weighting:
-        out_in_ref[:] += sum_in
+    for fb in range(B):
+        osel = (slice(None),) if B == 1 else (fb,)
+        out_re_ref[osel] += sum_re[fb]
+        if iq:
+            out_im_ref[osel] += sum_im[fb]
+        if st.coherency_weighting:
+            out_in_ref[osel] += sum_in[fb]
 
 
 # Measured r3 defaults.  forces stays at 4: tx_block=8 wins on the big
@@ -1483,13 +1604,18 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                     else 2)
     else:
         n_planes = (2 if (st.iq and not packed) or hermite else 1)
-    rf_block = (ch_block, tx_block, n_planes, s_pad)
+    B = st.frame_batch
+    rf_block = (ch_block, tx_block, B * n_planes, s_pad)
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
                                n_cb_bounds, n_blocks)
 
     ts = _tile_rows(st)
-    out_shapes = [jax.ShapeDtypeStruct((rt * ts, zt * TILE_LANE),
-                                       jnp.float32)] * 3
+    if B == 1:
+        out_shapes = [jax.ShapeDtypeStruct((rt * ts, zt * TILE_LANE),
+                                           jnp.float32)] * 3
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((B, rt * ts, zt * TILE_LANE),
+                                           jnp.float32)] * 3
 
     # rf is laid out per *grid* transmit index (READI duplication resolved
     # on host), so the block index is simply the transmit-block number.
@@ -1499,9 +1625,14 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # Channels innermost so per-(tile, block) transmit planes cached at
     # ch == 0 stay valid for the whole channel sweep.
     grid = (n_tiles, n_blocks, n_ch_grid)
-    out_spec = pl.BlockSpec((ts, TILE_LANE),
-                            lambda i, b, c, *_: (i // zt, i % zt),
-                            memory_space=pltpu.VMEM)
+    if B == 1:
+        out_spec = pl.BlockSpec((ts, TILE_LANE),
+                                lambda i, b, c, *_: (i // zt, i % zt),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_spec = pl.BlockSpec((B, ts, TILE_LANE),
+                                lambda i, b, c, *_: (0, i // zt, i % zt),
+                                memory_space=pltpu.VMEM)
 
     def rf_index(i, b, c, scalars, t0, t1, act, *_):
         if ABLATE.get("rf_pin"):      # timing-only: no per-step RF refetch
@@ -1528,8 +1659,12 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         ],
         out_specs=[out_spec] * 3,
         scratch_shapes=[
-            pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc re
-            pltpu.VMEM((n_slots, ts, TILE_LANE), jnp.float32),  # acc im
+            pltpu.VMEM((n_slots, ts, TILE_LANE) if B == 1
+                       else (B, n_slots, ts, TILE_LANE),
+                       jnp.float32),                            # acc re
+            pltpu.VMEM((n_slots, ts, TILE_LANE) if B == 1
+                       else (B, n_slots, ts, TILE_LANE),
+                       jnp.float32),                            # acc im
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # world (+f2z)
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # tile terms
             pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),  # tx planes
@@ -1549,14 +1684,12 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     g_repeat = st.readi_group_count if st.readi_group_count > 1 else 1
 
-    def run(scalars, t0_arr, t1_arr, vt, xdc, rf, tables=None):
-        # Complex handling stays inside jit: some TPU runtimes cannot
-        # execute eager complex ops or transfer complex arrays.
-        rf_used = rf[:, sparse:, :]
-        if g_repeat > 1:
-            # READI: grid transmit index e maps to rf acquisition e % A —
-            # materialize the tiled layout so block specs stay trivial.
-            rf_used = jnp.tile(rf_used, (1, g_repeat, 1))
+    def pack_one(rf_used):
+        """Pack ONE frame's (C, A_grid, S) RF into kernel planes.
+
+        Returns ``(rf_planes (C, A, n_planes, S), lsc (C, A))``.  Batched
+        configurations vmap this over the frame axis and interleave the
+        per-frame planes frame-major along the plane dim."""
         if st.iq and packed:
             # int16-pair packing: re<<16 | im&0xFFFF against the line peak.
             # The packed planes stay int32 end-to-end: carrying them
@@ -1625,6 +1758,31 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         else:
             rf_planes = rf_used.astype(jnp.float32)[:, :, None, :]
             lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
+        return rf_planes, lsc
+
+    def run(scalars, t0_arr, t1_arr, vt, xdc, rf, tables=None):
+        # Complex handling stays inside jit: some TPU runtimes cannot
+        # execute eager complex ops or transfer complex arrays.
+        if B == 1:
+            rf_used = rf[:, sparse:, :]
+            if g_repeat > 1:
+                # READI: grid transmit index e maps to rf acquisition
+                # e % A — materialize the tiled layout so block specs
+                # stay trivial.
+                rf_used = jnp.tile(rf_used, (1, g_repeat, 1))
+            rf_planes, lsc = pack_one(rf_used)
+        else:
+            rf_used = rf[:, :, sparse:, :]
+            if g_repeat > 1:
+                rf_used = jnp.tile(rf_used, (1, 1, g_repeat, 1))
+            planes_b, lsc_b = jax.vmap(pack_one)(rf_used)
+            # (B, C, A, P, S) -> (C, A, B*P, S): frame-major plane
+            # interleave (kernel reads plane fb*n_planes + p); lsc
+            # flattens (C, A, B) so index (chv*a_pad + acq)*B + fb works.
+            bb, cc, aa, pp, ss = planes_b.shape
+            rf_planes = planes_b.transpose(1, 2, 0, 3, 4).reshape(
+                cc, aa, bb * pp, ss)
+            lsc = lsc_b.transpose(1, 2, 0)
         pad_a = a_pad - rf_planes.shape[1]
         pad_c = c_pad - rf_planes.shape[0]
         if s_pad != s or pad_a or pad_c:
@@ -1632,7 +1790,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             rf_planes = jnp.pad(
                 rf_planes, ((0, pad_c), (0, pad_a), (0, 0), (0, s_pad - s)))
         if pad_a or pad_c:
-            lsc = jnp.pad(lsc, ((0, pad_c), (0, pad_a)))
+            lsc = jnp.pad(lsc, ((0, pad_c), (0, pad_a))
+                          + ((0, 0),) * (lsc.ndim - 2))
         # Precomputed tables (das_activity_tables, refreshed on parameter
         # pushes) skip the in-frame table compute; a trace-time shape
         # mismatch (stale knob granularity, e.g. an ABLATE sweep without a
@@ -1660,6 +1819,13 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         n_rows, n_lanes = _axes(st)
 
         def trim(o):
+            if B > 1:
+                o = o[:, :n_rows, :n_lanes]
+                if nz > 1:      # rows = (x, z), lanes = y
+                    return o.reshape(B, nx, nz, ny).transpose(0, 1, 3, 2)
+                if _lat_lanes(st):  # rows = y (axial), lanes = x (lateral)
+                    return o.transpose(0, 2, 1).reshape(B, nx, ny, nz)
+                return o.reshape(B, nx, ny, nz)
             o = o[:n_rows, :n_lanes]
             if nz > 1:      # rows = (x, z), lanes = y
                 return o.reshape(nx, nz, ny).transpose(0, 2, 1)
@@ -1758,7 +1924,9 @@ def _prep_scalars(dyn: dict, st: DasStatic):
 
 
 def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
-    """Pallas DAS dispatch for all acquisition families.  ``rf``: (C, A, S).
+    """Pallas DAS dispatch for all acquisition families.  ``rf``: (C, A, S),
+    or (B, C, A, S) with ``st.frame_batch == B > 1`` (returns (B, ...)
+    volumes; the per-pair geometry/delay work is shared across frames).
 
     Matches :func:`..ops.golden.das` / :func:`..ops.das.das`.  When
     ``dyn['das_tables']`` is present (see :func:`das_activity_tables`) the
@@ -1814,6 +1982,18 @@ def das_forces_pallas(rf, dyn, st, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 def _default_candidates(st: DasStatic):
+    if st.frame_batch > 1:
+        # Batched launches multiply the RF block and accumulator VMEM by
+        # B: sweep smaller channel/transmit blocks (register and VMEM
+        # pressure relief) alongside the single-frame winners.
+        if st.family == "rca":
+            return [{}, {"ch_block": 16}, {"ch_block": 8},
+                    {"ch_block": 8, "pred_share": 8}, {"tile_sub": 32},
+                    {"hermite": 0}, {"row_halves": 2}]
+        return [{}, {"ch_block": 4}, {"ch_block": 16},
+                {"tx_block": 8}, {"tx_block": 8, "ch_block": 4},
+                {"pred_share": 8}, {"group": 2}, {"pack_pairs": 0},
+                {"row_halves": 1 if st.family == "hercules" else 2}]
     if st.family == "rca":
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
                 {"ch_block": 16}, {"ch_block": 32},

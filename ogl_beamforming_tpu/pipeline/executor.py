@@ -77,6 +77,7 @@ class ParameterBlock:
     filters: dict[int, Filter] = field(default_factory=dict)
     dirty: bool = True
     _plan: CompiledPlan | None = None
+    _batched_plans: dict = field(default_factory=dict)   # frame_batch -> plan
 
     def mark_dirty(self):
         self.dirty = True
@@ -217,6 +218,7 @@ class Beamformer:
             if not b.pipeline.stages:
                 raise BeamformerError(ErrorKind.InvalidStartShader,
                                       "no pipeline pushed")
+            b._batched_plans.clear()
             a = b.parameters.acquisition_count
             b._plan = build_plan(
                 b.parameters, b.pipeline, b.filters,
@@ -293,6 +295,69 @@ class Beamformer:
                          block: int = 0) -> Frame:
         """Run the pipeline on already-canonical (C, A, S_wire) data."""
         return self._compute(np.asarray(rf), image_plane_tag, block)
+
+    def push_batch(self, data: np.ndarray, image_plane_tag: int = 0,
+                   block: int = 0) -> list[Frame]:
+        """Upload B raw frames and beamform them in ONE device program.
+
+        ``data``: (B, raw_channels, raw_samples) raw scanner layout (same
+        per-frame layout as :meth:`push_data_with_compute`).  The batched
+        plan shares the DAS kernel's per-pair geometry/delay work across
+        the batch — only RF gathers scale with B — so per-frame throughput
+        rises well above the streaming path; use it for offline datasets
+        and frame averaging (the reference's sum.glsl / output_points.w
+        analogue, ops/das_pallas.py).  Returns one :class:`Frame` per
+        input frame (all recorded in the backlog).  Unsupported together
+        with a device mesh (shard the channel axis or batch, not both)."""
+        if not (0 <= image_plane_tag < len(ViewPlaneTag)):
+            raise BeamformerError(ErrorKind.InvalidImagePlane,
+                                  str(image_plane_tag))
+        if self.mesh is not None:
+            raise BeamformerError(ErrorKind.InvalidComputeStage,
+                                  "push_batch with a device mesh")
+        data = np.asarray(data)
+        if data.ndim != 3:
+            raise BeamformerError(ErrorKind.DataSizeMismatch,
+                                  f"expected (B, raw_channels, raw_samples),"
+                                  f" got {data.shape}")
+        batch = data.shape[0]
+        b = self._block(block)
+        self._ensure_plan(b)                     # commit dirty state first
+        plan = b._batched_plans.get(batch)
+        if plan is None:
+            a = b.parameters.acquisition_count
+            plan = build_plan(
+                b.parameters, b.pipeline, b.filters,
+                channel_mapping=b.channel_mapping,
+                sparse_elements=b.sparse_elements[:max(a, 1)],
+                focal_vectors=b.focal_vectors[:max(a, 1)],
+                transmit_receive_orientations=(
+                    b.transmit_receive_orientations[:max(a, 1)]),
+                voxel_block=self._voxel_block,
+                frame_batch=batch)
+            b._batched_plans[batch] = plan
+        p = b.parameters
+        rf = np.stack([
+            prepare_rf(data[i], b.channel_mapping, p.channel_count,
+                       p.acquisition_count, p.sample_count,
+                       ContrastMode(p.contrast_mode), b.pipeline.data_kind)
+            for i in range(batch)])
+        for _ in range(batch):
+            self.stats.record_rf_upload()
+        t0 = time.perf_counter()
+        out = plan(rf)
+        sync(out)
+        dt = (time.perf_counter() - t0) / batch
+        fractions = self._stage_fractions(b._plan, rf[0])
+        frames = []
+        with self._frame_lock:
+            for i in range(batch):
+                self._frames_since_calibration += 1
+                self.stats.record_frame([dt * f for f in fractions])
+        for i in range(batch):
+            frames.append(self._register_frame(
+                out[i], ViewPlaneTag(image_plane_tag)))
+        return frames
 
     def warmup(self, block: int = 0) -> Frame:
         """Compile (and cache) the block's current descriptor by running

@@ -150,9 +150,16 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
                channel_mapping=None, sparse_elements=None,
                focal_vectors=None, transmit_receive_orientations=None,
                voxel_block: int = 65536,
-               das_backend: str = "auto") -> CompiledPlan:
+               das_backend: str = "auto",
+               frame_batch: int = 1) -> CompiledPlan:
     """Build (or fetch from cache) the compiled pipeline for a parameter
-    block's current state."""
+    block's current state.
+
+    ``frame_batch=B > 1`` builds a batched plan: call it with (B, ...)
+    raw frames and get (B, ...) volumes from ONE device program — pre-DAS
+    stages vmap (losslessly batched matmuls/convs) and the DAS kernel
+    shares its per-pair geometry work across the batch (the TPU-native
+    throughput mode for offline datasets / frame averaging)."""
     from ..ops.golden import DasParams  # layout of DAS parameters
 
     stage_descs, sample_count, fs, time_offset, iq = _plan_stages(
@@ -207,7 +214,8 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
         )
         das_static = dataclasses.replace(
             das_ops.make_static(dp, iq=iq, voxel_block=voxel_block),
-            backend=resolve_das_backend(das_backend))
+            backend=resolve_das_backend(das_backend),
+            frame_batch=int(frame_batch))
         das_dyn = das_ops.make_dynamic(dp)
         stage_descs.append(StageDesc(kind=ShaderKind.DAS, das=das_static))
 
@@ -287,7 +295,16 @@ def compose_stages(desc: PlanDescriptor, rf, dyn, *,
     """Pure stage composition for a static descriptor.  Shared by the
     single-chip jit (below) and the sharded pipeline (parallel/sharding.py),
     which defers coherency normalization until after the cross-device psum.
+
+    When the DAS stage carries ``frame_batch == B > 1``, ``rf`` is
+    (B, ...) raw frames: pre-DAS stages vmap over the batch (decode's
+    matmuls and the filter convs batch losslessly on the MXU) and the DAS
+    kernel consumes the whole batch in one launch, sharing its per-pair
+    geometry work across frames (ops/das_pallas.py).
     """
+    fb = max((sd.das.frame_batch for sd in desc.stages
+              if sd.das is not None), default=1)
+    vm = jax.vmap if fb > 1 else (lambda f: f)
     x = rf
     if desc.data_kind.is_complex:
         # Interleaved scalar pairs -> complex64 (I, Q adjacent samples) for
@@ -299,16 +316,17 @@ def compose_stages(desc: PlanDescriptor, rf, dyn, *,
     out = None
     for i, sd in enumerate(desc.stages):
         if sd.kind == ShaderKind.Decode:
-            x = decode_hadamard.__wrapped__(x, dyn[f"hadamard{i}"])
+            x = vm(lambda y: decode_hadamard.__wrapped__(
+                y, dyn[f"hadamard{i}"]))(x)
         elif sd.kind == ShaderKind.Demodulate:
-            x = demodulate.__wrapped__(
-                x, dyn[f"taps{i}"], dyn["demodulation_frequency"],
+            x = vm(lambda y: demodulate.__wrapped__(
+                y, dyn[f"taps{i}"], dyn["demodulation_frequency"],
                 dyn["sampling_frequency"], sd.decimation_rate,
-                sd.filter_complex)
+                sd.filter_complex))(x)
         elif sd.kind == ShaderKind.Filter:
-            x = fir_filter(x, dyn[f"taps{i}"], 1)
+            x = vm(lambda y: fir_filter(y, dyn[f"taps{i}"], 1))(x)
         elif sd.kind == ShaderKind.Hilbert:
-            x = hilbert.__wrapped__(x)
+            x = vm(lambda y: hilbert.__wrapped__(y))(x)
         elif sd.kind == ShaderKind.DAS:
             out = das_ops.das(x, dyn["das"], sd.das)
     if out is None:

@@ -205,6 +205,41 @@ def test_hermite_cubic_iq(rng, hermite):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+@pytest.mark.parametrize("iq,interp", [
+    (True, InterpolationMode.Cubic),    # hermite packed-IQ (headline mode)
+    (True, InterpolationMode.Linear),   # pack_iq
+    (False, InterpolationMode.Linear),  # pack_pairs real RF
+    (False, InterpolationMode.Nearest),
+])
+def test_frame_batch(rng, iq, interp):
+    """Batched DAS (frame_batch=B) matches B independent single-frame
+    runs: geometry/delay work is shared, per-frame RF planes are gathered
+    with shared indices, per-(pair, frame) dequant scales apply at flush."""
+    import dataclasses
+
+    import jax
+
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=interp)
+    c, a, s = p.channel_count, p.acquisition_count, p.sample_count
+    B = 2
+    rf = rng.standard_normal((B, c, a, s)).astype(np.float32)
+    if iq:
+        rf = (rf + 1j * rng.standard_normal((B, c, a, s))).astype(
+            np.complex64)
+    st1 = make_static(p, iq=iq)
+    dyn = make_dynamic(p)
+    singles = [np.asarray(das_pallas(rf[b], dyn, st1, interpret=True))
+               for b in range(B)]
+    stb = dataclasses.replace(st1, frame_batch=B)
+    out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
+                                interpret=True))
+    assert out.shape == (B,) + tuple(st1.output_points)
+    for b in range(B):
+        assert np.abs(singles[b]).max() > 0
+        assert nrmse(singles[b], out[b]) < 1e-5
+
+
 @pytest.mark.parametrize("interp", [InterpolationMode.Linear,
                                     InterpolationMode.Cubic])
 def test_pair_iq(rng, interp):

@@ -134,6 +134,58 @@ def test_executor_full_chain_demod_decode_das(rng):
     assert nrmse(ref, frame.to_numpy()) < 1e-3
 
 
+def test_batched_plan_matches_per_frame(rng):
+    """A frame_batch=B plan over (B, ...) raw frames equals B independent
+    single-frame plan calls (pre-DAS stages vmap; the batched DAS kernel
+    shares geometry work across frames)."""
+    c, a, s = 8, 4, 256
+    p = _make_params(c, a, s)
+    from ogl_beamforming_tpu.pipeline.spec import PipelineSpec
+
+    pipe = PipelineSpec.from_shaders([ShaderKind.Decode, ShaderKind.DAS],
+                                     DataKind.Int16)
+    single = plan_mod.build_plan(p, pipe, {},
+                                 das_backend="pallas_interpret")
+    B = 2
+    batched = plan_mod.build_plan(p, pipe, {},
+                                  das_backend="pallas_interpret",
+                                  frame_batch=B)
+    raw = rng.integers(-1024, 1024, (B, c, a, s)).astype(np.int16)
+    refs = [np.asarray(single(raw[b])) for b in range(B)]
+    out = np.asarray(batched(raw))
+    assert out.shape == (B,) + tuple(single.output_points)
+    for b in range(B):
+        assert np.abs(refs[b]).max() > 0
+        assert nrmse(refs[b], out[b]) < 1e-5
+
+
+def test_push_batch_matches_streaming(rng):
+    """Beamformer.push_batch beamforms B raw frames in one device program
+    and matches B push_data_with_compute results frame-for-frame."""
+    c, a, s = 8, 4, 256
+    bf = Beamformer(voxel_block=128)
+    p = _make_params(c, a, s)
+    bf.push_parameters(p)
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+
+    B = 2
+    raw = rng.integers(-1024, 1024, (B, c, a * s)).astype(np.int16)
+    singles = [bf.push_data_with_compute(raw[i]).to_numpy()
+               for i in range(B)]
+    frames = bf.push_batch(raw)
+    assert len(frames) == B
+    for i in range(B):
+        assert frames[i].output_points == (12, 16, 1)
+        assert np.abs(singles[i]).max() > 0
+        assert nrmse(singles[i], frames[i].to_numpy()) < 1e-5
+    # batched plan is cached; a parameter push invalidates it
+    blk = bf._block(0)
+    assert B in blk._batched_plans
+    bf.push_parameters(p)
+    bf._ensure_plan(blk)
+    assert not blk._batched_plans
+
+
 def test_plan_cache_reuse():
     """Same shapes + static config -> same compiled fn; param tweaks don't
     retrace (SURVEY.md §7 recompilation storms)."""
