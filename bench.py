@@ -134,12 +134,13 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
 
 
 def bench_plane_wave_batched(B=4, c=256, s=4096, nx=512, nz=1024, iters=8):
-    """Frame-batched headline: B frames per kernel launch.  The per-pair
-    delay/index math, apodization, predication, and grid overhead are
-    geometry-only and shared across the batch; only the RF gathers scale
-    with B — the TPU-native throughput mode for offline datasets and
-    frame averaging (the reference's sum.glsl / output_points.w path,
-    computed in one launch).  Reported per frame."""
+    """Frame-batched headline: B frames per device program — the
+    TPU-native throughput mode for offline datasets and frame averaging
+    (the reference's sum.glsl / output_points.w path).  Default execution
+    lax.maps the single-frame kernel (host dispatch/upload amortize over
+    B); the geometry-sharing packed kernel is the fb_pack=1 autotune
+    candidate (measured slower on v5e — experiments/frame_batch_ab.py).
+    Reported per frame."""
     import dataclasses
 
     import jax
@@ -158,7 +159,9 @@ def bench_plane_wave_batched(B=4, c=256, s=4096, nx=512, nz=1024, iters=8):
     im = np.random.randn(B, c, 1, s).astype(np.float32)
     rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(re, im)
     dyn = dict(plan.dyn["das"])
-    dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st)
+    st_tab = st if das_pallas._knob(st, "fb_pack", 0) else \
+        dataclasses.replace(st, frame_batch=1)
+    dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st_tab)
     dt = _timeit(lambda: das_jit(rf, dyn, st), sync, warmup=2,
                  iters=iters) / B
     voxels = nx * nz

@@ -1934,7 +1934,21 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
     them inside the frame — the executor refreshes them on every parameter
     push, mirroring the reference's plan-commit-time dispatch layout work
     (beamformer_core.c:1008-1120).
+
+    Batched frames run the proven single-frame kernel sequentially under
+    ``lax.map`` by default (one device program; host dispatch and upload
+    amortize across the batch).  The geometry-sharing packed kernel —
+    one index/weight computation gathering all B planes — is behind the
+    ``fb_pack`` knob: the v5e hardware A/B (experiments/frame_batch_ab.py)
+    measured it at 12.4-13.9 ms/frame vs 5.8 mapped on the headline — the
+    B-times accumulator scratch and RF block blow VMEM/register budgets
+    past what the shared geometry saves.  Autotune sweeps both forms.
     """
+    if st.frame_batch > 1 and not _knob(st, "fb_pack", 0):
+        import dataclasses as _dc
+        st1 = _dc.replace(st, frame_batch=1)
+        return jax.lax.map(
+            lambda f: das_pallas(f, dyn, st1, interpret), rf)
     scalars, t0_arr, t1_arr, n_grid, n_rf = _prep_scalars(dyn, st)
     fn = _das_call(st, n_grid, n_rf, interpret)
     return fn(scalars, t0_arr, t1_arr,
@@ -1983,17 +1997,21 @@ def das_forces_pallas(rf, dyn, st, interpret: bool = False):
 
 def _default_candidates(st: DasStatic):
     if st.frame_batch > 1:
-        # Batched launches multiply the RF block and accumulator VMEM by
-        # B: sweep smaller channel/transmit blocks (register and VMEM
-        # pressure relief) alongside the single-frame winners.
+        # Default {} is lax.map over the single-frame kernel (the v5e
+        # winner: 5.8 vs 12.4+ ms/frame packed).  fb_pack=1 candidates
+        # cover the geometry-sharing packed kernel with smaller channel/
+        # transmit blocks (its RF block and accumulator VMEM scale by B).
         if st.family == "rca":
-            return [{}, {"ch_block": 16}, {"ch_block": 8},
-                    {"ch_block": 8, "pred_share": 8}, {"tile_sub": 32},
-                    {"hermite": 0}, {"row_halves": 2}]
-        return [{}, {"ch_block": 4}, {"ch_block": 16},
-                {"tx_block": 8}, {"tx_block": 8, "ch_block": 4},
-                {"pred_share": 8}, {"group": 2}, {"pack_pairs": 0},
-                {"row_halves": 1 if st.family == "hercules" else 2}]
+            return [{}, {"fb_pack": 1}, {"fb_pack": 1, "ch_block": 16},
+                    {"fb_pack": 1, "ch_block": 8},
+                    {"fb_pack": 1, "ch_block": 8, "pred_share": 8},
+                    {"fb_pack": 1, "tile_sub": 32},
+                    {"fb_pack": 1, "hermite": 0}]
+        return [{}, {"fb_pack": 1}, {"fb_pack": 1, "ch_block": 4},
+                {"fb_pack": 1, "ch_block": 16}, {"fb_pack": 1, "tx_block": 8},
+                {"fb_pack": 1, "tx_block": 8, "ch_block": 4},
+                {"fb_pack": 1, "pred_share": 8},
+                {"fb_pack": 1, "pack_pairs": 0}]
     if st.family == "rca":
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
                 {"ch_block": 16}, {"ch_block": 32},

@@ -211,13 +211,17 @@ def test_hermite_cubic_iq(rng, hermite):
     (False, InterpolationMode.Linear),  # pack_pairs real RF
     (False, InterpolationMode.Nearest),
 ])
-def test_frame_batch(rng, iq, interp):
-    """Batched DAS (frame_batch=B) matches B independent single-frame
-    runs: geometry/delay work is shared, per-frame RF planes are gathered
-    with shared indices, per-(pair, frame) dequant scales apply at flush."""
+def test_frame_batch_packed(rng, iq, interp):
+    """The geometry-sharing packed batch kernel (fb_pack=1) matches B
+    independent single-frame runs: delay/index work is shared, per-frame
+    RF planes are gathered with shared indices, per-(pair, frame) dequant
+    scales apply at flush.  (Opt-in on v5e — the hardware A/B measured it
+    slower than the mapped default; numerics stay contract-tested.)"""
     import dataclasses
 
     import jax
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
 
     p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
                 interpolation_mode=interp)
@@ -232,12 +236,42 @@ def test_frame_batch(rng, iq, interp):
     singles = [np.asarray(das_pallas(rf[b], dyn, st1, interpret=True))
                for b in range(B)]
     stb = dataclasses.replace(st1, frame_batch=B)
-    out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
-                                interpret=True))
+    dp_mod.ABLATE["fb_pack"] = 1
+    try:
+        out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
+                                    interpret=True))
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
     assert out.shape == (B,) + tuple(st1.output_points)
     for b in range(B):
         assert np.abs(singles[b]).max() > 0
         assert nrmse(singles[b], out[b]) < 1e-5
+
+
+def test_frame_batch_mapped_default(rng):
+    """Default batched execution (fb_pack=0) lax.maps the single-frame
+    kernel: exact per-frame equality, (B, ...) output shape."""
+    import dataclasses
+
+    import jax
+
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    c, a, s = p.channel_count, p.acquisition_count, p.sample_count
+    B = 3
+    rf = (rng.standard_normal((B, c, a, s))
+          + 1j * rng.standard_normal((B, c, a, s))).astype(np.complex64)
+    st1 = make_static(p, iq=True)
+    dyn = make_dynamic(p)
+    singles = [np.asarray(das_pallas(rf[b], dyn, st1, interpret=True))
+               for b in range(B)]
+    stb = dataclasses.replace(st1, frame_batch=B)
+    out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
+                                interpret=True))
+    assert out.shape == (B,) + tuple(st1.output_points)
+    for b in range(B):
+        assert nrmse(singles[b], out[b]) < 1e-6
 
 
 @pytest.mark.parametrize("interp", [InterpolationMode.Linear,
