@@ -98,32 +98,22 @@ def bench_plane_wave(c=256, s=4096, nx=512, nz=1024, iters=32):
     (tests/decode.c AVERAGE_SAMPLES; the tunneled runtime's ~30 ms readback
     RTT amortizes out of the sustained-throughput number).
     """
-    import jax
     import jax.numpy as jnp
     from ogl_beamforming_tpu.models.presets import plane_wave_2d
-    from ogl_beamforming_tpu.ops import das as das_ops
-    from ogl_beamforming_tpu.ops.golden import DasParams
+    from ogl_beamforming_tpu.params.enums import DataKind
     from ogl_beamforming_tpu.pipeline.plan import build_plan
     from ogl_beamforming_tpu.utils.transfer import sync
 
+    # The client-expressible IQ configuration: Float32Complex wire data
+    # (interleaved I/Q scalars), decode_mode=NoDecode — the planner strips
+    # the Decode stage and DAS runs complex baseband.  No manual static or
+    # table surgery: the number below is plan(rf) end to end.
     p, pipe = plane_wave_2d(channel_count=c, sample_count=s,
-                            output_points=(nx, nz))
+                            output_points=(nx, nz),
+                            data_kind=DataKind.Float32Complex)
     plan = build_plan(p, pipe, {})
-    # IQ input: pretend upstream demodulation produced complex baseband
-    re = np.random.randn(c, 1, s).astype(np.float32)
-    im = np.random.randn(c, 1, s).astype(np.float32)
-    make_iq = jax.jit(lambda a, b: jax.lax.complex(a, b))
-    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
-    import dataclasses
-    st = dataclasses.replace(sd.das, iq=True)
-    from ogl_beamforming_tpu.ops import das_pallas
-    from ogl_beamforming_tpu.ops.das import das_jit
-    rf = make_iq(re, im)
-    # the IQ static differs from the plan's: refresh the precomputed
-    # activity tables for it (the executor does this on parameter pushes)
-    dyn = dict(plan.dyn["das"])
-    dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st)
-    dt = _timeit(lambda: das_jit(rf, dyn, st), sync, warmup=2, iters=iters)
+    rf = jnp.asarray(np.random.randn(c, 1, 2 * s).astype(np.float32))
+    dt = _timeit(lambda: plan(rf), sync, warmup=2, iters=iters)
     voxels = nx * nz
     return {
         "ms_per_frame": dt * 1e3,
@@ -141,29 +131,18 @@ def bench_plane_wave_batched(B=4, c=256, s=4096, nx=512, nz=1024, iters=8):
     B); the geometry-sharing packed kernel is the fb_pack=1 autotune
     candidate (measured slower on v5e — experiments/frame_batch_ab.py).
     Reported per frame."""
-    import dataclasses
-
-    import jax
+    import jax.numpy as jnp
     from ogl_beamforming_tpu.models.presets import plane_wave_2d
-    from ogl_beamforming_tpu.ops import das_pallas
-    from ogl_beamforming_tpu.ops.das import das_jit
+    from ogl_beamforming_tpu.params.enums import DataKind
     from ogl_beamforming_tpu.pipeline.plan import build_plan
     from ogl_beamforming_tpu.utils.transfer import sync
 
     p, pipe = plane_wave_2d(channel_count=c, sample_count=s,
-                            output_points=(nx, nz))
-    plan = build_plan(p, pipe, {})
-    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
-    st = dataclasses.replace(sd.das, iq=True, frame_batch=B)
-    re = np.random.randn(B, c, 1, s).astype(np.float32)
-    im = np.random.randn(B, c, 1, s).astype(np.float32)
-    rf = jax.jit(lambda a, b: jax.lax.complex(a, b))(re, im)
-    dyn = dict(plan.dyn["das"])
-    st_tab = st if das_pallas._knob(st, "fb_pack", 0) else \
-        dataclasses.replace(st, frame_batch=1)
-    dyn["das_tables"] = das_pallas.das_activity_tables(dyn, st_tab)
-    dt = _timeit(lambda: das_jit(rf, dyn, st), sync, warmup=2,
-                 iters=iters) / B
+                            output_points=(nx, nz),
+                            data_kind=DataKind.Float32Complex)
+    plan = build_plan(p, pipe, {}, frame_batch=B)
+    rf = jnp.asarray(np.random.randn(B, c, 1, 2 * s).astype(np.float32))
+    dt = _timeit(lambda: plan(rf), sync, warmup=2, iters=iters) / B
     voxels = nx * nz
     return {
         "ms_per_frame": dt * 1e3,

@@ -37,9 +37,18 @@ def plane_wave_2d(channel_count: int = 256, sample_count: int = 4096,
                   demodulation_frequency: float = 7.8e6,
                   output_points=(512, 1024),
                   lateral_mm=(-60.0, 60.0), axial_mm=(10.0, 165.0),
-                  f_number: float = 0.5) -> tuple[Parameters, PipelineSpec]:
+                  f_number: float = 0.5,
+                  data_kind: DataKind = DataKind.Float32
+                  ) -> tuple[Parameters, PipelineSpec]:
     """Single plane-wave RCA (Flash) 2D image — BASELINE config 2 and the
-    throughput.c output grid (tests/throughput.c:20-23)."""
+    throughput.c output grid (tests/throughput.c:20-23).
+
+    ``data_kind=DataKind.Float32Complex`` is the client-expressible IQ
+    configuration: interleaved I/Q wire data, ``decode_mode=NoDecode``
+    strips the (mandatory-first) Decode stage in the planner exactly like
+    the reference (beamformer_core.c:487-489), and DAS runs complex
+    baseband.  ``sample_count`` counts complex samples; the wire carries
+    ``2 * sample_count`` scalars per acquisition."""
     vt = das_transform_2d_xz([lateral_mm[0] * 1e-3, axial_mm[0] * 1e-3],
                              [lateral_mm[1] * 1e-3, axial_mm[1] * 1e-3])
     p = Parameters(
@@ -58,7 +67,7 @@ def plane_wave_2d(channel_count: int = 256, sample_count: int = 4096,
         interpolation_mode=InterpolationMode.Cubic,
         output_points=np.array([*output_points, 1, 0], np.int32))
     pipe = PipelineSpec.from_shaders([ShaderKind.Decode, ShaderKind.DAS],
-                                     DataKind.Float32)
+                                     data_kind)
     return p, pipe
 
 

@@ -1944,9 +1944,8 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
     B-times accumulator scratch and RF block blow VMEM/register budgets
     past what the shared geometry saves.  Autotune sweeps both forms.
     """
-    if st.frame_batch > 1 and not _knob(st, "fb_pack", 0):
-        import dataclasses as _dc
-        st1 = _dc.replace(st, frame_batch=1)
+    st1 = das_table_static(st)
+    if st1 is not st:
         return jax.lax.map(
             lambda f: das_pallas(f, dyn, st1, interpret), rf)
     scalars, t0_arr, t1_arr, n_grid, n_rf = _prep_scalars(dyn, st)
@@ -1954,6 +1953,24 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
     return fn(scalars, t0_arr, t1_arr,
               dyn["voxel_transform"], dyn["xdc_transform"], rf,
               dyn.get("das_tables"))
+
+
+def das_table_static(st: DasStatic) -> DasStatic:
+    """The static configuration :func:`das_activity_tables` must be keyed to
+    for ``st`` to *use* the tables.
+
+    Single source of truth for the batched-dispatch rule: frame-batched
+    launches without ``fb_pack`` run the single-frame kernel under
+    ``lax.map``, whose trace checks table shapes against the
+    ``frame_batch=1`` knob key — tables keyed to the batched static would
+    be silently discarded and recomputed in-frame B times per launch.
+    Used by the dispatcher, ``build_plan``, ``bench.py`` and
+    :func:`autotune_das`.
+    """
+    if st.frame_batch > 1 and not _knob(st, "fb_pack", 0):
+        import dataclasses as _dc
+        return _dc.replace(st, frame_batch=1)
+    return st
 
 
 def das_activity_tables(dyn: dict, st: DasStatic):
@@ -2069,9 +2086,11 @@ def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
             das_jit.clear_cache()
             try:
                 # measure the deployment configuration: tables precomputed
-                # under this candidate's knobs (build_plan does the same)
+                # under this candidate's knobs and keyed to the form that
+                # will actually run (build_plan does the same)
                 dyn_c = dict(dyn)
-                dyn_c["das_tables"] = das_activity_tables(dyn_c, st)
+                dyn_c["das_tables"] = das_activity_tables(
+                    dyn_c, das_table_static(st))
                 for _ in range(warmup):
                     sync(das_jit(rf, dyn_c, st))
                 t0 = _time.perf_counter()

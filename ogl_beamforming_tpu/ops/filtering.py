@@ -14,6 +14,18 @@ import jax
 import jax.numpy as jnp
 
 
+_UNROLL_MAX_TAPS = 128
+"""Tap count up to which the FIR unrolls into shift-FMA VPU ops.
+
+A C=O=1 ``conv_general_dilated`` maps terribly onto the MXU (1 output
+lane of a 128x128 tile; with ``Precision.HIGHEST`` it also pays the
+multi-pass f32 emulation) — measured ~7 ms on the 16-tap demod chain
+stage whose arithmetic is ~100 us.  Unrolling L strided slices into
+multiply-adds keeps the whole FIR in one XLA elementwise fusion (exact
+f32, no precision knob needed).  Long filters (chirps) keep the conv.
+"""
+
+
 def _conv1d(x: jax.Array, taps: jax.Array, decimation_rate: int) -> jax.Array:
     """Real strided correlation with the reference's alignment.
 
@@ -23,6 +35,9 @@ def _conv1d(x: jax.Array, taps: jax.Array, decimation_rate: int) -> jax.Array:
     length = taps.shape[0]
     s = x.shape[-1]
     lead = x.shape[:-1]
+    n_out = s // decimation_rate
+    if length <= _UNROLL_MAX_TAPS:
+        return _fir_unrolled(x, taps, decimation_rate, n_out)
     xb = x.reshape((-1, 1, s))
     out = jax.lax.conv_general_dilated(
         xb.astype(jnp.float32),
@@ -36,8 +51,26 @@ def _conv1d(x: jax.Array, taps: jax.Array, decimation_rate: int) -> jax.Array:
         # the default precision on v5e).
         precision=jax.lax.Precision.HIGHEST,
     )
-    n_out = s // decimation_rate
     return out[:, 0, :n_out].reshape(lead + (n_out,))
+
+
+def _fir_unrolled(x: jax.Array, taps: jax.Array, decimation_rate: int,
+                  n_out: int) -> jax.Array:
+    """Tap-unrolled strided FIR: ``y[n] = sum_j xpad[D n + j] h[j]`` with
+    L-1 left zeros — the same alignment as the conv path, as L fused
+    vector FMAs over strided slices."""
+    length = taps.shape[0]
+    d = decimation_rate
+    pad = [(0, 0)] * (x.ndim - 1) + [(length - 1, d)]
+    xp = jnp.pad(x.astype(jnp.float32), pad)
+    h = taps.astype(jnp.float32)
+    acc = None
+    span = (n_out - 1) * d + 1
+    for j in range(length):
+        seg = jax.lax.slice_in_dim(xp, j, j + span, stride=d, axis=-1)
+        term = h[j] * seg
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def fir_filter(rf: jax.Array, taps: jax.Array,

@@ -260,15 +260,10 @@ def build_plan(parameters: Parameters, pipeline: PipelineSpec,
     das_sd = next((sd for sd in stage_descs if sd.das is not None), None)
     if das_sd is not None and das_sd.das.backend == "pallas" \
             and das_sd.das.family != "none":
-        from ..ops.das_pallas import _knob, das_activity_tables
-        st_tab = das_sd.das
-        if st_tab.frame_batch > 1 and not _knob(st_tab, "fb_pack", 0):
-            # Batched plans default to lax.map over the single-frame
-            # kernel (das_pallas.py) — tables must match the single-frame
-            # knob key or the in-kernel shape check discards them.
-            st_tab = dataclasses.replace(st_tab, frame_batch=1)
+        from ..ops.das_pallas import das_activity_tables, das_table_static
         try:
-            das_dyn["das_tables"] = das_activity_tables(das_dyn, st_tab)
+            das_dyn["das_tables"] = das_activity_tables(
+                das_dyn, das_table_static(das_sd.das))
         except Exception:       # table precompute must never break planning
             pass
 

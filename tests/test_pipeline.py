@@ -297,6 +297,45 @@ def test_decode_mode_none_skips_decode(rng):
     assert nrmse(ref, frame.to_numpy()) < 1e-3
 
 
+def test_plane_wave_iq_front_door(rng):
+    """The bench.py headline configuration, end to end through the client
+    path: Float32Complex interleaved wire + decode_mode=NoDecode reduces
+    the planner to DAS-on-complex-baseband (beamformer_core.c:487-489).
+    Guards the front-door plan bench_plane_wave measures."""
+    from ogl_beamforming_tpu.models.presets import plane_wave_2d
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+
+    c, s, nx, nz = 16, 512, 24, 32
+    p, pipe = plane_wave_2d(
+        channel_count=c, sample_count=s, output_points=(nx, nz),
+        lateral_mm=(-2.0, 2.0), axial_mm=(1.0, 9.0),
+        sampling_frequency=10e6, demodulation_frequency=2e6,
+        data_kind=DataKind.Float32Complex)
+    plan = build_plan(p, pipe, {})
+    assert plan.iq
+    # Decode was stripped: only the DAS stage remains
+    assert [sd.kind for sd in plan.descriptor.stages] == [ShaderKind.DAS]
+
+    wire = rng.standard_normal((c, 1, 2 * s)).astype(np.float32)
+    out = np.asarray(plan(wire))
+
+    iq = (wire[..., 0::2] + 1j * wire[..., 1::2]).astype(np.complex64)
+    dp = golden.DasParams(
+        acquisition_kind=AcquisitionKind.Flash, acquisition_count=1,
+        channel_count=c, sample_count=s, sampling_frequency=10e6,
+        demodulation_frequency=2e6,
+        speed_of_sound=float(p.speed_of_sound),
+        interpolation_mode=InterpolationMode.Cubic, f_number=0.5,
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        transmit_receive_orientation=int(p.transmit_receive_orientation),
+        transmit_angle=float(p.focal_vector[0]),
+        focus_depth=float(p.focal_vector[1]),
+        output_points=(nx, nz, 1))
+    ref = golden.das(iq, dp)
+    assert nrmse(ref, out) < 1e-3
+
+
 def test_executor_demod_decimation_chain(rng):
     """Demodulate with decimation_rate=2: sample count and fs quartered."""
     c, a, s = 8, 4, 512
