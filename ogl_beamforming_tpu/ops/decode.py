@@ -212,7 +212,11 @@ def load_decode_tuned(path: str) -> None:
 
 @functools.lru_cache(maxsize=32)
 def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=(),
-                 f32_in: bool = False):
+                 f32_in: bool = False, true_a: int | None = None):
+    """``a`` is the (sublane-aligned) kernel order; ``true_a`` the real
+    transmit count when the caller zero-padded a 12/20-seed order up to a
+    multiple of 8 — the 1/T normalization must use the true order."""
+    scale_a = true_a or a
     knobs = dict(knobs)
     # Large sample blocks + channel blocking keep the grid small: the sweep
     # shapes are bandwidth-bound and per-step overhead dominated at small A.
@@ -239,7 +243,7 @@ def _decode_call(c: int, a: int, s: int, interpret: bool, knobs=(),
         body = _decode_kernel_pipe
     else:
         body = _decode_kernel_cb
-    kernel = partial(body, 1.0 / a, cb)
+    kernel = partial(body, 1.0 / scale_a, cb)
     fn = pl.pallas_call(
         kernel,
         grid=(c // cb, s_pad // bs),
@@ -286,8 +290,19 @@ def decode_hadamard_pallas(rf: jax.Array, hadamard: jax.Array,
     knobs = dict(DECODE_TUNED.get((c, a, s), ()))
     knobs.update(DECODE_ABLATE)          # explicit overrides win
     f32_in = rf.dtype != jnp.int16
-    out = _decode_call(c, a, s, interpret, tuple(sorted(knobs.items())),
-                       f32_in)(rf, hadamard)
+    # 12/20-seed orders (A % 8 != 0) zero-pad up to the sublane multiple:
+    # padded H columns are zero so padded acquisitions contribute exactly
+    # nothing (also exact under the int8 decomposition — the correction
+    # rowsum only sees real H entries); padded output rows are sliced off.
+    a_pad = -(-a // 8) * 8
+    true_a = a if a_pad != a else None
+    if a_pad != a:
+        rf = jnp.pad(rf, ((0, 0), (0, a_pad - a), (0, 0)))
+        hadamard = jnp.pad(hadamard, ((0, a_pad - a), (0, a_pad - a)))
+    out = _decode_call(c, a_pad, s, interpret, tuple(sorted(knobs.items())),
+                       f32_in, true_a)(rf, hadamard)
+    if a_pad != a:
+        out = out[:, :a]
     if cplx:
         out = out.reshape(c, a, s // 2, 2)
         out = jax.lax.complex(out[..., 0], out[..., 1])
@@ -295,11 +310,10 @@ def decode_hadamard_pallas(rf: jax.Array, hadamard: jax.Array,
 
 
 def _use_pallas_decode(rf) -> bool:
-    # int16 raw, f32, or complex64 (demod-first) input on real TPU, with a
-    # Mosaic-friendly sublane count (12/20-order Hadamards fall back to
-    # the XLA matmul).
+    # int16 raw, f32, or complex64 (demod-first) input on real TPU.
+    # Non-sublane-aligned orders (12, 20) zero-pad inside
+    # decode_hadamard_pallas rather than falling back to the XLA matmul.
     return (rf.dtype in (jnp.int16, jnp.float32, jnp.complex64)
-            and rf.shape[1] % 8 == 0
             and jax.default_backend() == "tpu")
 
 

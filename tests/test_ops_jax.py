@@ -216,12 +216,16 @@ def test_decode_pallas_matches_golden(rng):
     import jax.numpy as jnp
     from ogl_beamforming_tpu.ops.decode import (decode_hadamard_pallas,
                                                 hadamard_matrix)
-    for c, a, s in [(4, 16, 512), (2, 64, 1024), (2, 32, 300)]:
+    # 12 and 20 are the Kronecker-seed orders whose A % 8 != 0: they
+    # zero-pad the acquisition axis inside the kernel wrapper (exact).
+    for c, a, s in [(4, 16, 512), (2, 64, 1024), (2, 32, 300),
+                    (2, 12, 256), (2, 20, 256)]:
         rf = rng.integers(-32768, 32767, (c, a, s)).astype(np.int16)
         h = hadamard_matrix(a)
         out = np.asarray(decode_hadamard_pallas(jnp.asarray(rf), h,
                                                 interpret=True))
         ref = golden.decode_hadamard(rf, np.asarray(h))
+        assert out.shape == ref.shape
         assert np.abs(out - ref).max() <= 2e-3   # ~1e-7 relative
 
 
