@@ -268,7 +268,8 @@ def bench_forces_big(iters=8):
 
 def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
                    axial_mm=(10.0, 165.0), taps=4, planes=2,
-                   vpu_lanes=1024, clock=0.94e9):
+                   vpu_lanes=1024, clock=0.94e9,
+                   cyc_per_gather_vreg=3.53):
     """DAS speed-of-light in voxels*channels/s for one v5e chip.
 
     Justification (measured numbers in PERFORMANCE.md):
@@ -280,20 +281,26 @@ def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
       this bound because it *is* this device's memory-side limit for the
       op; both bounds are reported by --full).
     * Mosaic's only fast dynamic gather is ``take_along_axis`` within a
-      128-lane row, issuing ~1 vreg (1024 lanes)/cycle (measured).  Cubic
-      IQ interpolation of one (voxel, channel) sample requires gathering
-      ``taps * planes`` values, so the bound charges ``taps * planes``
-      gather lane-ops per active (voxel, channel) for the exact-f32
-      two-plane formulation — independent of voxel layout.  (Round 3's
-      int16 re|im packing fetches both planes in one gather, so the
-      *packed* kernel's own speed of light is 2x this bound; the roofline
-      deliberately stays pinned to the round-2 exact-f32 form so
-      ``vs_baseline`` is comparable across rounds and never inflated by
-      reformulation.  Measured fractions > 1 would therefore be possible
-      for a perfect packed kernel — the honest framing is "fraction of
-      the exact-form bound".)
-    * Index/weight/FMA overhead adds ~1 lane-op per gather lane-op
-      (ablations: gathers are ~50% of kernel time), hence the factor 2.
+      128-lane row.  Rounds 1-3 charged 1 vreg (1024 lanes)/cycle on the
+      strength of gather_micro.py — round 4 showed that figure was a
+      harness artifact (its ``r & 3`` index stride let Mosaic CSE 64
+      gathers into 4, and per-call times sat under the ~0.65 ms tunneled
+      dispatch floor).  The slope-methodology re-measurement
+      (experiments/gather_micro3.py, FMA control 0.435 cyc/vreg) puts the
+      hardware floor at **4.02 cyc/vreg isolated, 3.53 paired** (two
+      gathers sharing one index, the kernel's hermite structure) — and
+      shows index/select/unpack/FMA work hides completely under gather
+      issue, so no separate aux charge applies.  The bound charges
+      ``taps * planes`` gathered vregs per active (voxel, channel) at the
+      paired 3.53 cyc/vreg rate for the exact-f32 two-plane formulation —
+      independent of voxel layout.  (Round 3's int16 re|im packing
+      fetches both planes in one gather, so the *packed* kernel's own
+      speed of light is 2x this bound; the roofline deliberately stays
+      pinned to the round-2 exact-f32 form so ``vs_baseline`` is never
+      inflated by reformulation.  Measured fractions > 1 would therefore
+      be possible for a perfect packed kernel.)  Round-3 rows quoted
+      vs_baseline against the disproven 1 cyc/vreg + 2x-aux accounting;
+      multiply them by 1.77 to compare against round-4 rows.
     * Voxels beyond the last RF sample are skipped (activity pruning); the
       roofline only charges active voxels but the reported metric counts
       the full grid, exactly like the measured number does.
@@ -309,8 +316,8 @@ def roofline_voxch(c, a, s, nx, nz, fs=40e6, sos=1500.0,
         (z_data - axial_mm[0] * 1e-3)
         / ((axial_mm[1] - axial_mm[0]) * 1e-3), 0.0), 1.0)
     lane_ops = (frac_active * nx * nz * c * a
-                * taps * planes * 2.0)               # gather + aux
-    t = lane_ops / (vpu_lanes * clock)
+                * taps * planes)                     # gathered lanes
+    t = lane_ops * cyc_per_gather_vreg / (vpu_lanes * clock)
     return nx * nz * c * a / t
 
 
