@@ -292,7 +292,8 @@ def _stage_parameter(pipeline: PipelineSpec, kind: ShaderKind, index,
 
 
 def compose_stages(desc: PlanDescriptor, rf, dyn, *,
-                   skip_coherency_normalize: bool = False):
+                   skip_coherency_normalize: bool = False,
+                   stage_key_offset: int = 0):
     """Pure stage composition for a static descriptor.  Shared by the
     single-chip jit (below) and the sharded pipeline (parallel/sharding.py),
     which defers coherency normalization until after the cross-device psum.
@@ -315,7 +316,7 @@ def compose_stages(desc: PlanDescriptor, rf, dyn, *,
         x = x.astype(jnp.float32)
         x = jax.lax.complex(x[..., 0::2], x[..., 1::2])
     out = None
-    for i, sd in enumerate(desc.stages):
+    for i, sd in enumerate(desc.stages, start=stage_key_offset):
         if sd.kind == ShaderKind.Decode:
             x = vm(lambda y: decode_hadamard.__wrapped__(
                 y, dyn[f"hadamard{i}"]))(x)
@@ -354,15 +355,17 @@ def compiled_stage_fns(desc: PlanDescriptor):
     for i in range(len(desc.stages)):
         sub = dataclasses.replace(desc, stages=desc.stages[i:i + 1])
 
-        def make(sub=sub, first=(i == 0)):
+        def make(sub=sub, i=i, first=(i == 0)):
             def fn(x, dyn):
+                # dyn keys (hadamard{i}/taps{i}) are indexed by the FULL
+                # pipeline position, not the single-stage sub-descriptor's.
                 if not first:
                     # input decoding (Int16Complex pairing) only applies to
                     # the raw first stage
                     sub2 = dataclasses.replace(sub,
                                                data_kind=DataKind.Float32)
-                    return compose_stages(sub2, x, dyn)
-                return compose_stages(sub, x, dyn)
+                    return compose_stages(sub2, x, dyn, stage_key_offset=i)
+                return compose_stages(sub, x, dyn, stage_key_offset=i)
             return jax.jit(fn)
         fns.append(make())
     return fns

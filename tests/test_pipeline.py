@@ -450,6 +450,33 @@ def test_stage_times_calibrated_not_even(rng):
     assert abs(times[0] - times[1]) > 1e-9   # calibrated, not even-split
 
 
+def test_stage_fns_compose_to_fused_plan(rng):
+    """compiled_stage_fns (the profile=True machinery) must reproduce the
+    fused plan when a dyn-keyed stage is NOT first: dyn keys
+    (hadamard{i}/taps{i}) are indexed by full-pipeline position, and the
+    single-stage sub-descriptors must preserve that offset (regression:
+    Demodulate->Decode->DAS raised KeyError 'hadamard0')."""
+    from ogl_beamforming_tpu.models.presets import forces_compounding
+    from ogl_beamforming_tpu.params.types import KaiserFilterParameters
+
+    c, a, s = 16, 4, 512
+    p, pipe = forces_compounding(channel_count=c, transmit_count=a,
+                                 sample_count=s, sampling_frequency=20e6,
+                                 demodulation_frequency=5e6,
+                                 output_points=(16, 32), demodulate=True)
+    fp = FilterParameters(kind=FilterKind.Kaiser, sampling_frequency=20e6,
+                          kaiser=KaiserFilterParameters(2e6, 4.0, 8))
+    plan = plan_mod.build_plan(p, pipe, {0: make_filter(fp)})
+    assert len(plan.descriptor.stages) == 3      # Demodulate, Decode, DAS
+    rf = rng.integers(-1024, 1024, (c, a, s)).astype(np.int16)
+
+    fused = np.asarray(plan(rf))
+    x = rf
+    for fn in plan_mod.compiled_stage_fns(plan.descriptor):
+        x = fn(x, plan.dyn)
+    assert nrmse(np.asarray(x), fused) < 1e-6
+
+
 def test_calibrated_fractions_track_profile_ground_truth(rng):
     """Quantify how far calibrated-fraction stage times drift from
     profile=True ground truth (separately-dispatched, readback-timed
