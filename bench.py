@@ -386,13 +386,64 @@ def _run_row(fn, retries: int = 1):
     were committed unflagged).  Annotates the row with its window health."""
     for attempt in range(retries + 1):
         rtt = link_rtt_ms()
-        row = fn()
+        try:
+            row = fn()
+        except Exception as e:      # a broken row must not kill the run
+            row = {"error": f"{type(e).__name__}: {e}"[:300]}
         row["rtt_ms"] = round(rtt, 1)
         row["window"] = "healthy" if rtt <= HEALTHY_RTT_MS else "degraded"
         if row["window"] == "healthy":
             return row
     row["window"] = "degraded"
     return row
+
+
+def chain_canary():
+    """Small Demodulate -> Decode -> DAS chain vs golden ON HARDWARE —
+    guards the full-bench chain rows the DAS-only :func:`numerics_canary`
+    cannot see (the demodulate/FIR stages run fused Pallas kernels on TPU,
+    ops/demod_pallas.py, with their own toolchain exposure)."""
+    from ogl_beamforming_tpu.models.presets import forces_compounding
+    from ogl_beamforming_tpu.ops import golden
+    from ogl_beamforming_tpu.params.enums import FilterKind
+    from ogl_beamforming_tpu.params.types import (FilterParameters,
+                                                  KaiserFilterParameters)
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+    from ogl_beamforming_tpu.utils.filters import make_filter
+    from ogl_beamforming_tpu.utils.hadamard import hadamard
+    from ogl_beamforming_tpu.utils.transfer import to_host
+
+    rng = np.random.default_rng(11)
+    c, a, s = 16, 4, 512
+    p, pipe = forces_compounding(channel_count=c, transmit_count=a,
+                                 sample_count=s, sampling_frequency=20e6,
+                                 demodulation_frequency=5e6,
+                                 output_points=(32, 64), demodulate=True)
+    fp = FilterParameters(kind=FilterKind.Kaiser, sampling_frequency=20e6,
+                          kaiser=KaiserFilterParameters(2e6, 4.0, 16))
+    f = make_filter(fp)
+    plan = build_plan(p, pipe, {0: f})
+    rf = rng.integers(-1024, 1024, (c, a, s)).astype(np.int16)
+    out = to_host(plan(rf))
+
+    iq = golden.demodulate(rf, f.taps, 5e6, 20e6, 1, False)
+    dec = golden.decode_hadamard(iq, hadamard(a))
+    from ogl_beamforming_tpu.ops.golden import DasParams
+    from ogl_beamforming_tpu.params.enums import (AcquisitionKind,
+                                                  InterpolationMode)
+    dp = DasParams(
+        acquisition_kind=AcquisitionKind.FORCES, acquisition_count=a,
+        channel_count=c, sample_count=s // 2, sampling_frequency=10e6,
+        demodulation_frequency=5e6,
+        speed_of_sound=float(p.speed_of_sound),
+        time_offset=float(p.time_offset) + f.time_delay,
+        interpolation_mode=InterpolationMode.Cubic,
+        f_number=float(p.f_number),
+        voxel_transform=np.asarray(p.das_voxel_transform),
+        xdc_element_pitch=np.asarray(p.xdc_element_pitch),
+        output_points=(32, 64, 1))
+    ref = golden.das(dec.astype(np.complex64), dp)
+    return float(np.linalg.norm(out - ref) / np.linalg.norm(ref))
 
 
 FULL_ROWS = (
@@ -458,6 +509,15 @@ def main():
         result["vs_baseline"] = 0.0
         result["canary_fail"] = True
     if args.full:
+        try:
+            ch_nrmse = chain_canary()
+        except Exception as e:
+            ch_nrmse = float("inf")
+            result["chain_canary_error"] = f"{type(e).__name__}: {e}"[:300]
+        result["chain_canary_nrmse"] = (round(ch_nrmse, 8)
+                                        if np.isfinite(ch_nrmse) else "inf")
+        if not ch_nrmse < 1e-3:
+            result["chain_canary_fail"] = True
         runs = []
         for _ in range(max(1, args.runs)):
             run = {name: _run_row(fn) for name, fn in FULL_ROWS}

@@ -52,6 +52,11 @@ def split(name, plan_builder, rf_shape, iters=3):
     ng = measure("no_gather", {"no_gather": 1})
     ncl = measure("no_chunk_loop", {"no_chunk_loop": 1})
     nu = measure("no_unit", {"no_unit": 1})
+    # rf_pin kills the per-step RF block refetch (timing-only, numerics
+    # garbage): no_unit - no_unit+rf_pin = the HBM refetch traffic share
+    # of "fixed"; the remainder is grid/bookkeeping overhead.
+    measure("no_unit_rf_pin", {"no_unit": 1, "rf_pin": 1})
+    measure("full_rf_pin", {"rf_pin": 1})
     das_pallas.ABLATE.clear()
     das_pallas._das_call.cache_clear()
     das_jit.clear_cache()

@@ -2035,17 +2035,35 @@ def _default_candidates(st: DasStatic):
                 {"lat_lanes": 0}, {"tile_sub": 32}, {"row_halves": 2},
                 {"hermite": 0}, {"hermite": 1, "ch_block": 16},
                 {"ch_sub": 8}, {"ch_sub": 16}, {"ch_sub": 8, "row_halves": 2}]
+    # Round-4 floor decomposition (PERFORMANCE.md): the 3D volumes spend
+    # ~1/3 of their time in fixed per-grid-step cost — bigger channel/
+    # transmit blocks (fewer steps) are the closing lever there, where
+    # 2D configs measured best at small blocks.  Over-VMEM candidates
+    # fail to compile and are skipped by autotune.
+    volume = sum(d > 1 for d in st.output_points) == 3
     if st.family == "hercules":
         return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
                 {"tile_sub": 16}, {"tx_block": 8}, {"row_halves": 1},
                 {"pack_pairs": 0}, {"pack_pairs": 0, "tx_block": 8},
-                {"pair_iq": 1}, {"ch_sub": 4}]
+                {"pair_iq": 1}, {"ch_sub": 4}] + ([
+                    {"ch_block": 32}, {"tx_block": 32},
+                    {"ch_block": 16, "tx_block": 32},
+                    {"ch_block": 32, "tx_block": 32},
+                    {"ch_block": 16, "tile_sub": 32}] if volume else [])
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
             {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
             {"pack_pairs": 0}, {"pack_pairs": 0, "tx_block": 8},
             {"pair_iq": 1}, {"pair_iq": 1, "ch_block": 16},
-            {"ch_sub": 4}]
+            {"ch_sub": 4}] + ([
+                {"tx_block": 16}, {"tx_block": 32}, {"ch_block": 32},
+                {"ch_block": 16, "tx_block": 16},
+                {"tx_block": 16, "pred_share": 64}] if volume else []) + ([
+                    # IQ baseband (demod-chain DAS): rotation/packing
+                    # structure knobs the real-RF sweep never exercises
+                    {"pack_iq": 0}, {"hermite": 0},
+                    {"hermite": 0, "ch_block": 16},
+                    {"ch_block": 16, "tx_block": 8}] if st.iq else [])
 
 
 def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,

@@ -339,7 +339,10 @@ def autotune_decode(rf, hadamard, candidates=None, iters: int = 50,
                       {"i8": 0, "bs": 1024}, {"pipe": 0}]
     results = {}
     saved = dict(DECODE_ABLATE)
-    key = tuple(rf.shape)
+    # key by the shape decode_hadamard_pallas LOOKS UP: complex frames
+    # interleave re|im on the sample axis before the tuned-knob fetch
+    key = tuple(rf.shape[:-1]) + (
+        rf.shape[-1] * (2 if jnp.iscomplexobj(rf) else 1),)
     _load_shipped_decode_tuned()
     prev_tuned = DECODE_TUNED.pop(key, None)  # candidates must run pure
     try:

@@ -14,6 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
+DEMOD_PALLAS: bool | str | None = None
+"""Demodulate/FIR-kernel backend override: None = auto (fused Pallas
+kernel on TPU, XLA path elsewhere), True/False force it, "interpret" runs
+the Pallas kernels in interpret mode (testing).  Trace-time only — flip it
+before the first call of a given shape (jit caches by shape, not by this
+flag); experiments must clear caches between A/B arms."""
+
+
 _UNROLL_MAX_TAPS = 128
 """Tap count up to which the FIR unrolls into shift-FMA VPU ops.
 
@@ -79,6 +87,14 @@ def fir_filter(rf: jax.Array, taps: jax.Array,
 
     Matches :func:`..ops.golden.fir_filter`.
     """
+    use_pallas = DEMOD_PALLAS
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and decimation_rate == 1
+            and taps.shape[0] <= _UNROLL_MAX_TAPS):
+        from .demod_pallas import fir_pallas
+        return fir_pallas(rf, taps, interpret=use_pallas == "interpret")
+
     cx_x = jnp.iscomplexobj(rf)
     cx_h = jnp.iscomplexobj(taps)
     if not cx_x and not cx_h:
@@ -109,6 +125,16 @@ def demodulate(rf: jax.Array, taps: jax.Array, demodulation_frequency,
     complex, then FIR-filtered with decimation.  Matches
     :func:`..ops.golden.demodulate`.
     """
+    use_pallas = DEMOD_PALLAS
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if (use_pallas and rf.dtype == jnp.int16 and decimation_rate == 1
+            and not complex_filter and not jnp.iscomplexobj(taps)):
+        from .demod_pallas import demodulate_pallas
+        return demodulate_pallas(rf, taps, demodulation_frequency,
+                                 sampling_frequency,
+                                 interpret=use_pallas == "interpret")
+
     s_pairs = rf.shape[-1] // 2
     x = rf[..., : 2 * s_pairs].astype(jnp.float32)
     i = x[..., 0::2]

@@ -111,6 +111,28 @@ def main():
     rf = dev_normal((128, 16, 2048))
     das_case("forces_chain", rf, plan.dyn["das"], st, iters=16)
 
+    # 2b. FORCES demod-chain DAS stage: IQ baseband after Demodulate
+    # (S and fs halved).  Round-4 demod_split measured this stage at
+    # 13.4 ms on untuned family defaults while the non-IQ chain DAS
+    # runs ~4 ms — the exact shape bench_demod_chain exercises.
+    from ogl_beamforming_tpu.params.enums import FilterKind
+    from ogl_beamforming_tpu.params.types import (FilterParameters,
+                                                  KaiserFilterParameters)
+    from ogl_beamforming_tpu.utils.filters import make_filter
+    p, pipe = presets.forces_compounding(channel_count=128,
+                                         transmit_count=16,
+                                         sample_count=2048,
+                                         sampling_frequency=20e6,
+                                         demodulation_frequency=5e6,
+                                         output_points=(256, 512),
+                                         demodulate=True)
+    fp = FilterParameters(kind=FilterKind.Kaiser, sampling_frequency=20e6,
+                          kaiser=KaiserFilterParameters(2e6, 4.0, 16))
+    plan = build_plan(p, pipe, {0: make_filter(fp)})
+    sd = next(sd for sd in plan.descriptor.stages if sd.das is not None)
+    rf = dev_complex((128, 16, 1024))
+    das_case("forces_demod_chain", rf, plan.dyn["das"], sd.das, iters=16)
+
     # 3. HERCULES 3D
     p, pipe = presets.hercules_3d(channel_count=128, acquisition_count=128,
                                   sample_count=4096,
@@ -157,6 +179,20 @@ def main():
         rf = dev_int16((256, t, 4096))
         h = dec.hadamard_matrix(t)
         print(f"== decode T={t}: tuning", flush=True)
+        best, results = dec.autotune_decode(rf, h, iters=40, warmup=4,
+                                            save_path=dec_path)
+        print(f"   best={best}", flush=True)
+        for k, v in results.items():
+            print(f"   {k}: "
+                  f"{'fail' if v is None else round(v * 1e3, 3)}", flush=True)
+
+    # complex baseband decode at the demod-chain shape (keyed by the
+    # interleaved (128, 16, 2048) f32 form): measured 2.0 ms untuned on a
+    # ~34 MB stage whose HBM bound is ~0.2 ms
+    if wanted("decode_chain"):
+        rf = dev_complex((128, 16, 1024))
+        h = dec.hadamard_matrix(16)
+        print("== decode_chain complex T=16: tuning", flush=True)
         best, results = dec.autotune_decode(rf, h, iters=40, warmup=4,
                                             save_path=dec_path)
         print(f"   best={best}", flush=True)
