@@ -271,6 +271,37 @@ class Beamformer:
         plan._stage_fraction_cache = fractions
         return fractions
 
+    def profile_device_stages(self, rf: np.ndarray, block: int = 0,
+                              record: bool = False):
+        """True per-stage DEVICE times from ``jax.profiler`` traces — the
+        exact analogue of the reference bracketing every dispatch with GPU
+        timestamps (vulkan.c:2616-2637, beamformer_core.c:1602-1628).
+
+        Each stage's individually-jitted fn is traced in its own window
+        (compile excluded by a warmup call) and its device XLA-module
+        duration extracted from the Chrome trace — no wall-clock, no
+        tunnel dispatch/readback overhead (``utils/profiling.py``).
+
+        ``rf``: canonical (C, A, S_wire) data.  Returns a list of
+        ``(ShaderKind, device_seconds)``.  ``record=True`` also inserts
+        the times into the stats table as one frame.  Requires a real
+        accelerator: CPU traces carry no device lanes, so times come back
+        zero there (use ``profile=True`` wall-clock timing instead)."""
+        from ..utils.profiling import device_time
+        b = self._block(block)
+        plan = self._ensure_plan(b)
+        times = []
+        out = np.asarray(rf)
+        for sd, fn in zip(plan.descriptor.stages,
+                          compiled_stage_fns(plan.descriptor)):
+            prof = device_time(fn, out, plan.dyn)
+            times.append((sd.kind, prof.module_seconds))
+            out = fn(out, plan.dyn)
+        if record:
+            with self._frame_lock:
+                self.stats.record_frame([t for _, t in times])
+        return times
+
     def push_data_with_compute(self, data: np.ndarray,
                                image_plane_tag: int = 0,
                                block: int = 0) -> Frame:
