@@ -92,12 +92,23 @@ class Beamformer:
     """
 
     def __init__(self, backlog_bytes: int = 1 << 30, voxel_block: int = 65536,
-                 profile: bool = False, mesh=None):
+                 profile: bool = False, mesh=None,
+                 stage_timing: str = "calibrated"):
         """``profile=True`` dispatches pipeline stages as separate programs
         and records true per-stage device times into the stats table (at the
         cost of inter-stage fusion).  ``mesh``: a ``jax.sharding.Mesh`` to
         run channel-sharded across devices (parallel/sharding.py); the
-        channel count must divide the mesh size."""
+        channel count must divide the mesh size.
+
+        ``stage_timing`` picks how the fused path's calibration measures
+        each stage: ``"calibrated"`` (default) times the per-stage fns by
+        wall clock — cheap, but on a tunneled attach sub-millisecond
+        stages bottom out at the dispatch floor, skewing the exported
+        split toward small stages; ``"device"`` extracts true device-side
+        durations from jax.profiler traces (utils/profiling.py — the
+        reference's per-dispatch GPU timestamps), ~1 s per stage per
+        calibration, falling back to wall clock where traces carry no
+        device lanes (CPU)."""
         self._blocks: list[ParameterBlock] = [ParameterBlock()]
         self._reserved = 1
         self._backlog: list[Frame] = []
@@ -105,6 +116,7 @@ class Beamformer:
         self._frame_id = 0
         self._voxel_block = voxel_block
         self.profile = profile
+        self.stage_timing = stage_timing
         self.mesh = mesh
         self.stats = ComputeStats()
         self.live_parameters = LiveImagingParameters()
@@ -258,12 +270,22 @@ class Beamformer:
         try:
             times = []
             out = rf
-            for fn in compiled_stage_fns(plan.descriptor):
-                sync(out)
-                t0 = time.perf_counter()
-                out = fn(out, plan.dyn)
-                sync(out)
-                times.append(max(time.perf_counter() - t0, 1e-9))
+            if self.stage_timing == "device":
+                from ..utils.profiling import device_time
+                for fn in compiled_stage_fns(plan.descriptor):
+                    prof = device_time(fn, out, plan.dyn)
+                    times.append(prof.module_seconds)
+                    out = fn(out, plan.dyn)
+                if not all(t > 0 for t in times):
+                    times = []          # no device lanes (CPU): wall clock
+                    out = rf
+            if not times:
+                for fn in compiled_stage_fns(plan.descriptor):
+                    sync(out)
+                    t0 = time.perf_counter()
+                    out = fn(out, plan.dyn)
+                    sync(out)
+                    times.append(max(time.perf_counter() - t0, 1e-9))
             total = sum(times)
             fractions = [t / total for t in times]
         except Exception:               # calibration must never break compute

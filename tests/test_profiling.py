@@ -66,6 +66,21 @@ def test_device_time_runs_on_cpu(rng):
     assert prof.module_seconds == 0.0
 
 
+def test_device_stage_timing_falls_back_on_cpu(rng):
+    """stage_timing="device" must fall back to wall-clock calibration when
+    traces carry no device lanes (CPU) — stats stay nonzero and per-stage
+    distinct, exactly like the default mode."""
+    c, a, s = 8, 4, 256
+    bf = Beamformer(voxel_block=128, stage_timing="device")
+    bf.push_parameters(_make_params(c, a, s))
+    bf.push_pipeline([ShaderKind.Decode, ShaderKind.DAS], DataKind.Int16)
+    raw = rng.integers(-512, 512, (c, a * s)).astype(np.int16)
+    bf.push_data_with_compute(raw)
+    row = (bf.stats._frame_index - 1) % 32
+    times = [bf.stats.table.times[row, i] for i in range(2)]
+    assert all(t > 0 for t in times)
+
+
 def test_profile_device_stages_cpu_fallback(rng):
     """The executor method composes stages and returns one entry per
     pipeline stage (zero seconds on CPU), leaving compute unaffected."""
