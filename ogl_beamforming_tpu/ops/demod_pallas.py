@@ -4,9 +4,17 @@ One kernel does what the reference's ``Demodulate`` shader mode does with
 workgroup shared memory (filter.glsl:66-111): implicit-IQ pairing of
 consecutive RF samples, baseband rotation by ``exp(-j 2 pi f_d n /
 (fs/2))`` with the sqrt(2) scale, and the tap-unrolled FIR — in a single
-pass over VMEM-resident rows, instead of the XLA path's pad + L strided
-slices + FMA fusion whose HBM re-reads cost ~1.8 ms on the demod-chain
-stage (measured round 4; the stage's pure HBM bound is ~30 us).
+pass over VMEM-resident rows.
+
+**Measured verdict (round 4): NOT the default.**  Per-op device traces
+(experiments/demod_device_split.py) put this kernel at 0.482 ms vs
+0.196 ms for the XLA tap-unrolled path on the demod-chain stage shape
+(C=128 A=16 S=2048, 16 taps) — XLA fuses the shift-FMA chain into one
+elementwise kernel near HBM rate, while this kernel's grid/windowing
+overhead does not amortize at 16 taps.  The ~1.8 ms "XLA stage cost" that
+motivated it was a wall-clock reading under the tunnel's ~0.65 ms
+dispatch floor.  Kept as the ``filtering.DEMOD_PALLAS = True`` opt-in and
+as the fusion vehicle for any future longer-tap / multi-stage variant.
 
 TPU mapping (the same lessons as ops/das_pallas.py / ops/decode.py):
 

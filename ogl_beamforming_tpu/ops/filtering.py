@@ -15,11 +15,23 @@ import jax.numpy as jnp
 
 
 DEMOD_PALLAS: bool | str | None = None
-"""Demodulate/FIR-kernel backend override: None = auto (fused Pallas
-kernel on TPU, XLA path elsewhere), True/False force it, "interpret" runs
-the Pallas kernels in interpret mode (testing).  Trace-time only — flip it
-before the first call of a given shape (jit caches by shape, not by this
-flag); experiments must clear caches between A/B arms."""
+"""Demodulate/FIR-kernel backend override: None = auto (XLA tap-unrolled
+path everywhere), True forces the fused Pallas kernels
+(ops/demod_pallas.py), "interpret" runs them in interpret mode (testing).
+Trace-time only — flip it before the first call of a given shape (jit
+caches by shape, not by this flag); experiments must clear caches between
+A/B arms.
+
+Auto is XLA *by measurement*: per-op device traces on v5e
+(experiments/demod_device_split.py, round 4) put the XLA tap-unrolled
+demodulate at 0.196 ms vs 0.482 ms for the Pallas kernel, and the complex
+FIR at 0.192 vs 0.381 ms (C=128 A=16 S=2048, 16 taps); wall-clock marginal
+cost agrees (experiments/demod_slope.py: 0.137 vs 0.168 ms/rep).  XLA
+fuses the unrolled shift-FMA chain into one elementwise kernel that
+streams at HBM rate; the Pallas kernel pays grid/windowing overhead it
+cannot amortize at 16 taps.  The earlier wall-clock A/B that motivated the
+Pallas kernel was dispatch-bound on the tunneled attach (~0.65 ms floor)
+and could not resolve the difference."""
 
 
 _UNROLL_MAX_TAPS = 128
@@ -87,9 +99,7 @@ def fir_filter(rf: jax.Array, taps: jax.Array,
 
     Matches :func:`..ops.golden.fir_filter`.
     """
-    use_pallas = DEMOD_PALLAS
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = DEMOD_PALLAS or False
     if (use_pallas and decimation_rate == 1
             and taps.shape[0] <= _UNROLL_MAX_TAPS):
         from .demod_pallas import fir_pallas
@@ -125,9 +135,7 @@ def demodulate(rf: jax.Array, taps: jax.Array, demodulation_frequency,
     complex, then FIR-filtered with decimation.  Matches
     :func:`..ops.golden.demodulate`.
     """
-    use_pallas = DEMOD_PALLAS
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+    use_pallas = DEMOD_PALLAS or False
     if (use_pallas and rf.dtype == jnp.int16 and decimation_rate == 1
             and not complex_filter and not jnp.iscomplexobj(taps)):
         from .demod_pallas import demodulate_pallas
