@@ -2049,7 +2049,10 @@ def _default_candidates(st: DasStatic):
                     {"ch_block": 32}, {"tx_block": 32},
                     {"ch_block": 16, "tx_block": 32},
                     {"ch_block": 32, "tx_block": 32},
-                    {"ch_block": 16, "tile_sub": 32}] if volume else [])
+                    {"ch_block": 16, "tile_sub": 32},
+                    {"tile_sub": 16, "tx_block": 8},
+                    {"tile_sub": 16, "ch_sub": 4},
+                    {"tile_sub": 8}] if volume else [])
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
             {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
@@ -2058,7 +2061,13 @@ def _default_candidates(st: DasStatic):
             {"ch_sub": 4}] + ([
                 {"tx_block": 16}, {"tx_block": 32}, {"ch_block": 32},
                 {"ch_block": 16, "tx_block": 16},
-                {"tx_block": 16, "pred_share": 64}] if volume else []) + ([
+                {"tx_block": 16, "pred_share": 64},
+                # round-4 uforces follow-up: tx_block response was monotone
+                # 8 -> 16 -> 32 (563/535/524 ms), so probe past it and its
+                # combos (A=63 pads to one 64-transmit block)
+                {"tx_block": 64}, {"ch_block": 16, "tx_block": 32},
+                {"tx_block": 32, "pred_share": 64},
+                {"tx_block": 32, "tile_sub": 32}] if volume else []) + ([
                     # IQ baseband (demod-chain DAS): rotation/packing
                     # structure knobs the real-RF sweep never exercises
                     {"pack_iq": 0}, {"hermite": 0},
