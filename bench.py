@@ -401,8 +401,9 @@ def _run_row(fn, retries: int = 1):
 def chain_canary():
     """Small Demodulate -> Decode -> DAS chain vs golden ON HARDWARE —
     guards the full-bench chain rows the DAS-only :func:`numerics_canary`
-    cannot see (the demodulate/FIR stages run fused Pallas kernels on TPU,
-    ops/demod_pallas.py, with their own toolchain exposure)."""
+    cannot see (the demodulate/FIR/complex-decode stages have their own
+    toolchain exposure; since the round-4 default flip the demod FIR is
+    XLA tap-unrolled, with ops/demod_pallas.py the opt-in)."""
     from ogl_beamforming_tpu.models.presets import forces_compounding
     from ogl_beamforming_tpu.ops import golden
     from ogl_beamforming_tpu.params.enums import FilterKind
