@@ -274,6 +274,47 @@ def test_frame_batch_mapped_default(rng):
         assert nrmse(singles[b], out[b]) < 1e-6
 
 
+def test_das_table_static_keying(rng):
+    """das_table_static is the single source of truth for which static the
+    activity tables must be keyed to (ADVICE r3: the rule was duplicated in
+    plan.py/bench.py/autotune and could drift): batched launches without
+    fb_pack run the single-frame kernel under lax.map, so tables key to
+    frame_batch=1; fb_pack=1 keeps the batched key; B=1 is the identity.
+    Tables built under that key must be USED by the mapped batched dispatch
+    (bitwise-equal output to the untabled run, same as the B=1 contract)."""
+    import dataclasses
+
+    import jax
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    st1 = make_static(p, iq=False)
+    assert dp_mod.das_table_static(st1) is st1
+    stb = dataclasses.replace(st1, frame_batch=3)
+    assert dp_mod.das_table_static(stb) == st1
+    dp_mod.ABLATE["fb_pack"] = 1
+    try:
+        assert dp_mod.das_table_static(stb) == stb
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+
+    B = 2
+    c, a, s = p.channel_count, p.acquisition_count, p.sample_count
+    rf = rng.standard_normal((B, c, a, s)).astype(np.float32)
+    dyn = make_dynamic(p)
+    base = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
+                                 interpret=True))
+    dyn2 = dict(dyn)
+    dyn2["das_tables"] = dp_mod.das_activity_tables(
+        dyn, dp_mod.das_table_static(stb))
+    out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn2, stb,
+                                interpret=True))
+    assert np.array_equal(base, out)
+
+
 @pytest.mark.parametrize("interp", [InterpolationMode.Linear,
                                     InterpolationMode.Cubic])
 def test_pair_iq(rng, interp):
