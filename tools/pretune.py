@@ -199,7 +199,12 @@ def main():
         for k, v in results.items():
             print(f"   {k}: "
                   f"{'fail' if v is None else round(v * 1e3, 3)}", flush=True)
-    print(f"saved {dec_path} ({len(dec.DECODE_TUNED)} entries)", flush=True)
+    # autotune_decode saves incrementally; DECODE_TUNED is lazily loaded, so
+    # its in-process size is meaningless when every decode case was skipped.
+    if any(wanted(f"decode{t}") for t in (16, 64, 96, 256)) \
+            or wanted("decode_chain"):
+        print(f"saved {dec_path} ({len(dec.DECODE_TUNED)} entries)",
+              flush=True)
 
 
 if __name__ == "__main__":
