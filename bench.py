@@ -19,9 +19,16 @@ enqueue; every measurement forces a device readback (utils/transfer.sync).
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _progress(msg):
+    """Liveness/progress to stderr (stdout stays the one JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _timeit(fn, sync, warmup=2, iters=8):
@@ -488,15 +495,28 @@ def main():
                     help="repeat the --full rows N times and report per-row "
                          "spread (reproducibility protocol: 3 consecutive "
                          "runs with <=10%% spread)")
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path, updated "
+                         "incrementally after every row so a mid-run tunnel "
+                         "degradation or timeout still leaves the completed "
+                         "rows on disk")
     args = ap.parse_args()
+
+    def checkpoint(obj):
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(obj, f, indent=1)
 
     # Link-health context: sustained numbers amortize the readback RTT,
     # but a degraded attach (RTT >> 30 ms healthy baseline) inflates
     # everything — record it so results are interpretable.
     rtt_ms = link_rtt_ms()
+    _progress(f"link rtt {rtt_ms:.1f} ms")
 
     canary = numerics_canary()
+    _progress(f"canary nrmse {canary:.2e}")
     pw = bench_plane_wave()
+    _progress(f"headline {pw['ms_per_frame']:.2f} ms/frame")
     target = 0.8 * roofline_voxch(256, 1, 4096, 512, 1024)
     result = {
         "metric": "DAS voxels*channels/s (" + pw["config"] + ")",
@@ -519,9 +539,18 @@ def main():
                                         if np.isfinite(ch_nrmse) else "inf")
         if not ch_nrmse < 1e-3:
             result["chain_canary_fail"] = True
+        checkpoint(result)
         runs = []
-        for _ in range(max(1, args.runs)):
-            run = {name: _run_row(fn) for name, fn in FULL_ROWS}
+        for i in range(max(1, args.runs)):
+            run = {}
+            for name, fn in FULL_ROWS:
+                run[name] = _run_row(fn)
+                ms = _row_ms(run[name])
+                _progress(f"run {i + 1}/{args.runs} {name}: "
+                          f"{'err' if ms is None else f'{ms:.2f} ms'} "
+                          f"({run[name]['window']}, "
+                          f"rtt {run[name]['rtt_ms']} ms)")
+                checkpoint({**result, "runs": runs + [run]})
             runs.append(run)
         result.update(runs[-1] if args.runs <= 1 else
                       _best_rows(runs))
@@ -531,6 +560,7 @@ def main():
                 for name, fn in FULL_ROWS
                 if (s := _row_spread(runs, name)) is not None}
             result["runs"] = runs
+    checkpoint(result)
     print(json.dumps(result))
 
 

@@ -357,6 +357,61 @@ def test_pack_pairs_real_rf(rng, interp, pack):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+def _shipped_tuned_rows():
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "ogl_beamforming_tpu", "data", "tuned_v5e.json")
+    with open(path) as f:
+        return [(f"{r['key'][0]}-{i}", r["key"], r["knobs"])
+                for i, r in enumerate(json.load(f))]
+
+
+@pytest.mark.parametrize("label,key,knobs",
+                         _shipped_tuned_rows(),
+                         ids=lambda v: v if isinstance(v, str) else "")
+def test_shipped_tuned_knobs_numerics(rng, label, key, knobs):
+    """Every knob set shipped in data/tuned_v5e.json holds the golden
+    contract.  pretune/autotune validate *timing* only; a re-tune could
+    otherwise ship a combination (e.g. hercules {tile_sub:16}, uforces
+    {tx_block:32}) no interpret-mode test exercises.  Downsized same-family
+    configs with the shipped knobs forced via ABLATE (knob values that
+    exceed the small grids clamp in-kernel, matching production behavior)."""
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    family, interp, iq = key[0], InterpolationMode(key[1]), key[2]
+    volume = len([d for d in key[6] if d > 1]) == 3
+    kind = {"forces": AcquisitionKind.FORCES,
+            "hercules": AcquisitionKind.HERCULES,
+            "rca": AcquisitionKind.RCA_TPW}[family]
+    kw = dict(interpolation_mode=interp)
+    a = 4
+    if family == "hercules":
+        kw.update(transmit_receive_orientation=pack_tx_rx_orientation(
+            RCAOrientation.Rows, RCAOrientation.Columns),
+            transmit_angle=3.0, focus_depth=np.inf)
+    elif family == "rca":
+        angles = np.array([-5.0, 0.0, 5.0, 10.0], np.float32)
+        kw.update(single_focus=False, single_orientation=False,
+                  focal_vectors=np.stack(
+                      [angles, np.full(a, np.inf, np.float32)], axis=-1),
+                  transmit_receive_orientations=np.full(
+                      a, pack_tx_rx_orientation(RCAOrientation.Columns,
+                                                RCAOrientation.Columns),
+                      np.uint8))
+    out_points = (8, 8, 12) if (volume or family == "hercules") \
+        else (12, 16, 1)
+    p = _params(8, a, 256, out_points, kind, **kw)
+    dp_mod.ABLATE.update(knobs)
+    try:
+        ref, out = _run(rng, p, iq=iq)
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    assert np.abs(np.asarray(ref)).max() > 0
+    assert nrmse(ref, np.asarray(out)) < TOL
+
+
 def test_readi_forces(rng):
     p = _params(4, 4, 256, (8, 12, 1), AcquisitionKind.FORCES,
                 readi_group_count=4, readi_group=2,
