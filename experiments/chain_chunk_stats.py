@@ -105,6 +105,23 @@ def main():
                    measured_ms=2.36)
     executed_stats(demod_chain_plan(), "demod_chain (IQ)", measured_ms=4.70)
 
+    # 3D volumes at their *currently shipped* tuned knobs (hercules
+    # tile_sub=16, uforces tx_block=32 — the round-4 follow-up sweep
+    # winners): the predicted gather component is the executed-gather
+    # floor the measured volume times should be compared against.
+    # (floor_split_3d.py's measured ablations — HERCULES 86.4 ms,
+    # uFORCES 267.1 ms — were taken at the round-3 knobs, so they are
+    # context here, not a same-config ratio.)
+    from ogl_beamforming_tpu.models import presets
+    from ogl_beamforming_tpu.pipeline.plan import build_plan
+
+    p, pipe = presets.hercules_3d()
+    executed_stats(build_plan(p, pipe, {}), "hercules_3d 96^3 (shipped)")
+
+    p, pipe, sparse = presets.uforces_volumetric()
+    executed_stats(build_plan(p, pipe, {}, sparse_elements=sparse),
+                   "uforces_3d 128^3 (shipped)")
+
 
 if __name__ == "__main__":
     main()
