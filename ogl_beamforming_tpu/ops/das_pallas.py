@@ -483,6 +483,31 @@ _DELAY = {"forces": _forces_delay, "hercules": _hercules_delay,
 # Shared kernel
 # ---------------------------------------------------------------------------
 
+def _fb_mxu(st: DasStatic) -> bool:
+    """Frame-batched DAS on the MXU via one-hot-matmul interpolation
+    (``fb_mxu=1``, opt-in): the only formulation that sidesteps the v5e
+    lane-gather hardware floor (4.02 cyc/vreg isolated, 3.53 paired —
+    PERFORMANCE.md round 4, experiments/gather_micro3.py).  Instead of
+    gathering taps, each (pair, chunk, voxel row) builds a banded
+    (CHUNK, LANE) weight matrix from iota compares — zero gathers — and
+    contracts the *frame batch* against it on the MXU:
+    ``out[B, lane] += RF[B, chunk] @ W[chunk, lane]`` (the cooperative-
+    matrix move of the reference's decode.glsl:76-117 applied to
+    das.glsl:64-122's sampling; W is keyed by per-(voxel, channel,
+    transmit) sample indices, so only frames can share it).  The W build
+    cost is frame-independent, so the formulation pays at cine-loop batch
+    sizes (microbench crossover ~B=32; 8.9x/unit at B=128,
+    experiments/onehot_micro2.py) — live per-frame imaging stays on the
+    proven gather kernel.  Requires B % 16 == 0 (bf16 sublane tiling of
+    the plane-major RF block) and no coherency weighting (the incoherent
+    |pair-sum| term needs per-pair accumulators this path deliberately
+    avoids — rotation is applied per chunk and summed straight into the
+    output block, linearity makes that exact)."""
+    return (bool(_knob(st, "fb_mxu", 0)) and st.frame_batch > 1
+            and st.frame_batch % 16 == 0
+            and not st.coherency_weighting)
+
+
 def _pack_iq(st: DasStatic) -> bool:
     """IQ RF as one int16-pair word per sample (re<<16 | im&0xFFFF, scaled
     to each (channel, acquisition) line's peak, carried as int32 — f32
@@ -493,7 +518,7 @@ def _pack_iq(st: DasStatic) -> bool:
     are otherwise idle during gathers.  Quantization error is ~3e-5 NRMSE
     (int16 against the line peak), well inside the 1e-3 golden contract;
     ``pack_iq=0`` restores exact f32 planes."""
-    return bool(_knob(st, "pack_iq", 1)) and st.iq
+    return bool(_knob(st, "pack_iq", 1)) and st.iq and not _fb_mxu(st)
 
 
 def _hermite(st: DasStatic) -> bool:
@@ -527,6 +552,7 @@ def _pack_pairs(st: DasStatic) -> bool:
     window (forces chain 10.4->7.3, forces big 20.2->15.0, HERCULES 3D
     1642->392, uFORCES 3D 932->649 ms before tx_block pairing)."""
     return (bool(_knob(st, "pack_pairs", 1)) and not st.iq
+            and not _fb_mxu(st)
             and st.interpolation_mode in (InterpolationMode.Linear,
                                           InterpolationMode.Cubic))
 
@@ -551,6 +577,38 @@ def _pair_iq(st: DasStatic) -> bool:
             and st.frame_batch == 1
             and st.interpolation_mode in (InterpolationMode.Linear,
                                           InterpolationMode.Cubic))
+
+
+def _mxu_planes(st: DasStatic) -> int:
+    """RF planes per frame for the fb_mxu layout: bf16 (hi, lo) pairs per
+    component — an exact split of the f32 samples (hi = bf16 round, lo =
+    the bf16-representable remainder; combined relative error ~2^-17,
+    tighter than the gather path's int16 line-peak quantization)."""
+    return 4 if st.iq else 2
+
+
+def _block_geometry(st: DasStatic, n_grid: int):
+    """Resolved (tx_block, ch_block) for this configuration — the single
+    source of truth shared by :func:`_das_call` and
+    :func:`das_activity_tables` (the bound tables must be keyed to the
+    same granularity the kernel reads them at).
+
+    fb_mxu blocks are VMEM-budgeted: the RF block carries ``B *
+    _mxu_planes`` bf16 rows per (channel, transmit), so the channel block
+    is chosen as the largest power-of-two-free count that keeps the block
+    under ``mxu_rf_mb`` MB (default 4 — double-buffered against the
+    ~16 MB/core budget alongside the (ts, B, LANE) output blocks)."""
+    tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)), n_grid)
+    if _fb_mxu(st):
+        s_pad = _cdiv(st.sample_count, CHUNK) * CHUNK
+        per_ch = tx_block * st.frame_batch * _mxu_planes(st) * s_pad * 2
+        budget = int(_knob(st, "mxu_rf_mb", 4)) << 20
+        cb_default = max(1, min(8, budget // max(per_ch, 1)))
+    else:
+        cb_default = (32 if st.family == "rca" and _pack_iq(st)
+                      else 16 if st.family == "rca" else 8)
+    ch_block = min(_knob(st, "ch_block", cb_default), st.local_channels)
+    return tx_block, ch_block
 
 
 def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
@@ -768,12 +826,20 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
     iq = st.iq
     ts = _tile_rows(st)
     B = st.frame_batch
-    # Per-frame unit sums (B == 1 keeps the original single-plane shape;
-    # batched units hold one pair per frame — geometry work is shared,
-    # only gathers/accumulation scale with B).
-    sum_re = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
-    sum_im = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
-    sum_in = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
+    mxu = _fb_mxu(st)
+    if mxu:
+        # The MXU path accumulates straight into the (ts, B, LANE) output
+        # blocks per (pair, chunk, row); no per-frame unit sums exist.
+        sum_re = sum_im = sum_in = None
+        if ABLATE.get("no_unit"):
+            return
+    else:
+        # Per-frame unit sums (B == 1 keeps the original single-plane
+        # shape; batched units hold one pair per frame — geometry work is
+        # shared, only gathers/accumulation scale with B).
+        sum_re = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
+        sum_im = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
+        sum_in = [jnp.zeros((ts, TILE_LANE), jnp.float32) for _ in range(B)]
     if ABLATE.get("no_unit"):      # floor ablation: grid+world+output only
         for fb in range(B):
             osel = (slice(None),) if B == 1 else (fb,)
@@ -882,6 +948,25 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
             # (position, value-weight, slope-weight).
             tap_w = [(tp[0],) + tuple(w_mask * w for w in tp[1:])
                      for tp in taps]
+            if mxu:
+                # Rotation phase planes are frame-independent and applied
+                # per (pair, chunk, row) right after the matmul (linearity
+                # over the chunk sum makes per-chunk rotation exact).
+                if iq and not ABLATE.get("no_rotation"):
+                    if ABLATE.get("exact_rot"):
+                        arg = (np.float32(2 * np.pi)
+                               * scalars_ref[_SC_FDEMOD]
+                               * index / scalars_ref[_SC_FS])
+                        ph = (jnp.cos(arg), jnp.sin(arg))
+                    else:
+                        cycles = (scalars_ref[_SC_FDEMOD]
+                                  / scalars_ref[_SC_FS]) * index
+                        ph_im, ph_re = _sincos_2pi(cycles)
+                        ph = (ph_re, ph_im)
+                else:
+                    ph = None
+                preps.append((slot, i, j, k, tap_w, ph))
+                continue
             if B == 1:
                 acc_re_ref[slot] = jnp.zeros((ts, TILE_LANE), jnp.float32)
                 if iq:
@@ -1130,7 +1215,77 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                         if iq:
                             acc_im_ref[fb, slot, sub] = a_im
 
-        body = chunk_body if B == 1 else chunk_body_batched
+        def chunk_body_mxu(sub, hgt, g0, g1):
+            """One-hot MXU interpolation (fb_mxu): zero gathers.  Per
+            (pair, chunk, voxel row) build a banded (CHUNK, LANE) weight
+            matrix W from iota compares — W[s, v] = sum_t w_t[v] *
+            (s == k[v] + t - base), with the apodized tap weights folded
+            in — and contract the frame batch on the MXU:
+            ``out[B, lane] += RF[B, chunk] @ W``.  Taps outside this chunk
+            simply never match (the adjacent chunk's W picks them up —
+            same split the gather path's per-chunk `sel` mask performs).
+            RF planes are exact bf16 (hi, lo) splits; ``mxu_exact`` (on by
+            default) adds the RF_hi @ W_lo cross term so the weights keep
+            f32-grade precision (the dropped RF_lo @ W_lo term is
+            < 2^-18 relative).  Rotation (frame-shared phase planes from
+            prep) applies right here, per chunk — linear over the chunk
+            sum — so no per-pair accumulator slots or flush exist."""
+            row0 = sub.start or 0
+            exact = bool(_knob(st, "mxu_exact", 1))
+            n_comp = 2 if iq else 1
+            dn = (((1,), (0,)), ((), ()))
+            f32 = jnp.float32
+            iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_LANE),
+                                            0)
+            for slot, i, j, k, tap_w, ph in preps:
+                k_s = k[sub]
+                tw = [(tp[0],) + tuple(w[sub] for w in tp[1:])
+                      for tp in tap_w]
+                phr = ph[0][sub] if ph is not None else None
+                phi = ph[1][sub] if ph is not None else None
+                for q in range(g0, g1):
+                    base = q * CHUNK
+                    parts = []
+                    for comp in range(n_comp):
+                        p0 = 2 * comp * B
+                        parts.append((rf_ref[i, j, p0:p0 + B,
+                                             base:base + CHUNK],
+                                      rf_ref[i, j, p0 + B:p0 + 2 * B,
+                                             base:base + CHUNK]))
+                    for r in range(hgt):
+                        kk = k_s[r:r + 1, :] - base
+                        wf = jnp.zeros((CHUNK, TILE_LANE), f32)
+                        for tp in tw:
+                            wf = wf + jnp.where(iota == kk + tp[0],
+                                                tp[1][r:r + 1, :], 0.0)
+                        whi = wf.astype(jnp.bfloat16)
+                        wlo = ((wf - whi.astype(f32)).astype(jnp.bfloat16)
+                               if exact else None)
+                        mm = []
+                        for hi, lo in parts:
+                            m = (jax.lax.dot_general(
+                                     hi, whi, dn, preferred_element_type=f32)
+                                 + jax.lax.dot_general(
+                                     lo, whi, dn,
+                                     preferred_element_type=f32))
+                            if exact:
+                                m = m + jax.lax.dot_general(
+                                    hi, wlo, dn, preferred_element_type=f32)
+                            mm.append(m)
+                        rr = row0 + r
+                        if ph is not None:
+                            pr = phr[r:r + 1, :]
+                            pi_ = phi[r:r + 1, :]
+                            out_re_ref[rr] += mm[0] * pr - mm[1] * pi_
+                            out_im_ref[rr] += mm[0] * pi_ + mm[1] * pr
+                        elif iq:
+                            out_re_ref[rr] += mm[0]
+                            out_im_ref[rr] += mm[1]
+                        else:
+                            out_re_ref[rr] += mm[0]
+
+        body = (chunk_body_mxu if mxu
+                else chunk_body if B == 1 else chunk_body_batched)
 
         n_h = len(h_bounds) if h_bounds is not None else 1
         hs = ts // n_h
@@ -1160,6 +1315,8 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                             body(slice(h * hs, (h + 1) * hs), hs,
                                  g0, g1)
 
+        if mxu:
+            continue               # accumulated in-body; no flush
         scaled = (_pack_iq(st) or _pack_pairs(st)) and B > 1
         for slot, i, j, k, tap_w, index in preps:
             if iq and not ABLATE.get("no_rotation"):
@@ -1206,6 +1363,8 @@ def _das_unit_compute(st, tx_block, ch_block, a_pad, ch, blk, qb_lo, qb_hi,
                     if st.coherency_weighting:
                         sum_in[fb] = sum_in[fb] + jnp.abs(a_re)
 
+    if mxu:
+        return
     for fb in range(B):
         osel = (slice(None),) if B == 1 else (fb,)
         out_re_ref[osel] += sum_re[fb]
@@ -1571,21 +1730,17 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # output traffic, and grid overhead).  With whole-step predicate
     # sharing, bigger blocks keep winning on multi-transmit configs (r3:
     # HERCULES 96^3 856 -> 507 ms at 16, FORCES-big 16.3 -> 13.7 ms at 8).
-    tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)),
-                   n_acq_grid)
-    n_blocks = _cdiv(n_acq_grid, tx_block)
-    a_pad = n_blocks * tx_block
-
     # Several channels per grid step (each family's cached terms are
     # channel-independent); the bound-table units coincide with the blocks.
     # RCA takes 16 with the lateral-lanes layout (11.1 -> 10.4 ms headline;
     # the old 8 limit was register pressure under the axial layout) and 32
     # when packed-IQ halves the per-gather register footprint (6.48 ->
     # 6.10 ms; 32 with tile_sub=32 blows up to 18 ms, so only ch scales);
-    # HERCULES/FORCES measured best at 8.
-    cb_default = (32 if st.family == "rca" and _pack_iq(st)
-                  else 16 if st.family == "rca" else 8)
-    ch_block = min(_knob(st, "ch_block", cb_default), st.local_channels)
+    # HERCULES/FORCES measured best at 8.  fb_mxu blocks are VMEM-budgeted
+    # (see _block_geometry).
+    tx_block, ch_block = _block_geometry(st, n_acq_grid)
+    n_blocks = _cdiv(n_acq_grid, tx_block)
+    a_pad = n_blocks * tx_block
     n_ch_grid = _cdiv(st.local_channels, ch_block)
     c_pad = n_ch_grid * ch_block
     # Bound tables at _ch_sub granularity (default = ch_block): n_sub
@@ -1595,11 +1750,16 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
     # NOTE: last two block dims must equal the array dims (or be (8,128)
     # multiples): layout is (C, A, planes, S) with block (CB, TB, planes, S).
+    mxu = _fb_mxu(st)
     packed = _pack_iq(st)
     hermite = _hermite(st)
     pairs_packed = _pack_pairs(st)
     pair_planes = _pair_iq(st)
-    if pair_planes:
+    if mxu:
+        # bf16 (hi, lo) planes per component, plane-major x frames so each
+        # (comp, part) slice is a contiguous (B, S) MXU operand.
+        n_planes = _mxu_planes(st)
+    elif pair_planes:
         n_planes = (4 if st.interpolation_mode == InterpolationMode.Cubic
                     else 2)
     else:
@@ -1610,7 +1770,14 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                                n_cb_bounds, n_blocks)
 
     ts = _tile_rows(st)
-    if B == 1:
+    if mxu:
+        # Frames on the sublane axis of the *output* so the per-(pair,
+        # chunk, row) accumulate is a contiguous (B, LANE) read-modify-
+        # write (a (B, rows, lanes) layout would make it B strided
+        # single-sublane updates); `trim` transposes back.
+        out_shapes = [jax.ShapeDtypeStruct((rt * ts, B, zt * TILE_LANE),
+                                           jnp.float32)] * 3
+    elif B == 1:
         out_shapes = [jax.ShapeDtypeStruct((rt * ts, zt * TILE_LANE),
                                            jnp.float32)] * 3
     else:
@@ -1625,7 +1792,11 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # Channels innermost so per-(tile, block) transmit planes cached at
     # ch == 0 stay valid for the whole channel sweep.
     grid = (n_tiles, n_blocks, n_ch_grid)
-    if B == 1:
+    if mxu:
+        out_spec = pl.BlockSpec((ts, B, TILE_LANE),
+                                lambda i, b, c, *_: (i // zt, 0, i % zt),
+                                memory_space=pltpu.VMEM)
+    elif B == 1:
         out_spec = pl.BlockSpec((ts, TILE_LANE),
                                 lambda i, b, c, *_: (i // zt, i % zt),
                                 memory_space=pltpu.VMEM)
@@ -1646,6 +1817,18 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                   ch_block * tx_block, bounds_cb * tx_block)
     while (bounds_cb * tx_block) % n_slots:
         n_slots -= 1
+    if mxu:
+        # No per-pair accumulators: the MXU path rotates each (pair,
+        # chunk, row) matmul result immediately (rotation is linear over
+        # the chunk sum) and accumulates straight into the output block.
+        acc_shapes = [pltpu.VMEM((8, TILE_LANE), jnp.float32)] * 2
+    else:
+        acc_shapes = [
+            pltpu.VMEM((n_slots, ts, TILE_LANE) if B == 1
+                       else (B, n_slots, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((n_slots, ts, TILE_LANE) if B == 1
+                       else (B, n_slots, ts, TILE_LANE), jnp.float32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=9,    # scalars, geometry tables, tile flags,
                                   # per-(tile, ch-unit) + per-(tile,
@@ -1658,13 +1841,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                          memory_space=pltpu.VMEM),   # one (c, a) RF line
         ],
         out_specs=[out_spec] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((n_slots, ts, TILE_LANE) if B == 1
-                       else (B, n_slots, ts, TILE_LANE),
-                       jnp.float32),                            # acc re
-            pltpu.VMEM((n_slots, ts, TILE_LANE) if B == 1
-                       else (B, n_slots, ts, TILE_LANE),
-                       jnp.float32),                            # acc im
+        scratch_shapes=acc_shapes + [
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # world (+f2z)
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # tile terms
             pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),  # tx planes
@@ -1689,7 +1866,26 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
 
         Returns ``(rf_planes (C, A, n_planes, S), lsc (C, A))``.  Batched
         configurations vmap this over the frame axis and interleave the
-        per-frame planes frame-major along the plane dim."""
+        per-frame planes frame-major along the plane dim (plane-major for
+        fb_mxu, whose matmul operands are contiguous (B, S) slices)."""
+        if mxu:
+            # Exact bf16 (hi, lo) split of the f32 samples per component:
+            # hi rounds to bf16, lo (the remainder, <= half a bf16 ulp)
+            # is itself bf16-representable to ~2^-17 combined relative
+            # error.  No quantization scale — lsc stays 1.
+            if st.iq:
+                comps = [jnp.real(rf_used).astype(jnp.float32),
+                         jnp.imag(rf_used).astype(jnp.float32)]
+            else:
+                comps = [rf_used.astype(jnp.float32)]
+            planes = []
+            for carr in comps:
+                hi = carr.astype(jnp.bfloat16)
+                lo = (carr - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                planes += [hi, lo]
+            rf_planes = jnp.stack(planes, axis=2)
+            lsc = jnp.ones(rf_planes.shape[:2], jnp.float32)
+            return rf_planes, lsc
         if st.iq and packed:
             # int16-pair packing: re<<16 | im&0xFFFF against the line peak.
             # The packed planes stay int32 end-to-end: carrying them
@@ -1776,12 +1972,18 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
             if g_repeat > 1:
                 rf_used = jnp.tile(rf_used, (1, 1, g_repeat, 1))
             planes_b, lsc_b = jax.vmap(pack_one)(rf_used)
-            # (B, C, A, P, S) -> (C, A, B*P, S): frame-major plane
-            # interleave (kernel reads plane fb*n_planes + p); lsc
-            # flattens (C, A, B) so index (chv*a_pad + acq)*B + fb works.
             bb, cc, aa, pp, ss = planes_b.shape
-            rf_planes = planes_b.transpose(1, 2, 0, 3, 4).reshape(
-                cc, aa, bb * pp, ss)
+            if mxu:
+                # (B, C, A, P, S) -> (C, A, P*B, S): PLANE-major (kernel
+                # slices plane p's frames as rows [p*B, (p+1)*B)).
+                rf_planes = planes_b.transpose(1, 2, 3, 0, 4).reshape(
+                    cc, aa, pp * bb, ss)
+            else:
+                # frame-major plane interleave (kernel reads plane
+                # fb*n_planes + p); lsc flattens (C, A, B) so index
+                # (chv*a_pad + acq)*B + fb works.
+                rf_planes = planes_b.transpose(1, 2, 0, 3, 4).reshape(
+                    cc, aa, bb * pp, ss)
             lsc = lsc_b.transpose(1, 2, 0)
         pad_a = a_pad - rf_planes.shape[1]
         pad_c = c_pad - rf_planes.shape[0]
@@ -1819,6 +2021,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         n_rows, n_lanes = _axes(st)
 
         def trim(o):
+            if mxu:
+                # (rows, B, lanes) kernel layout -> (B, rows, lanes)
+                o = o.transpose(1, 0, 2)
             if B > 1:
                 o = o[:, :n_rows, :n_lanes]
                 if nz > 1:      # rows = (x, z), lanes = y
@@ -1942,7 +2147,10 @@ def das_pallas(rf, dyn: dict, st: DasStatic, interpret: bool = False):
     ``fb_pack`` knob: the v5e hardware A/B (experiments/frame_batch_ab.py)
     measured it at 12.4-13.9 ms/frame vs 5.8 mapped on the headline — the
     B-times accumulator scratch and RF block blow VMEM/register budgets
-    past what the shared geometry saves.  Autotune sweeps both forms.
+    past what the shared geometry saves.  The ``fb_mxu`` knob instead runs
+    the one-hot MXU kernel (zero gathers — banded weight matrices from
+    iota compares, contracted against the frame batch; see :func:`_fb_mxu`)
+    for offline cine-loop batch sizes.  Autotune sweeps all three forms.
     """
     st1 = das_table_static(st)
     if st1 is not st:
@@ -1967,7 +2175,8 @@ def das_table_static(st: DasStatic) -> DasStatic:
     Used by the dispatcher, ``build_plan``, ``bench.py`` and
     :func:`autotune_das`.
     """
-    if st.frame_batch > 1 and not _knob(st, "fb_pack", 0):
+    if (st.frame_batch > 1 and not _knob(st, "fb_pack", 0)
+            and not _fb_mxu(st)):
         import dataclasses as _dc
         return _dc.replace(st, frame_batch=1)
     return st
@@ -1989,10 +2198,7 @@ def das_activity_tables(dyn: dict, st: DasStatic):
     (units, row-groups) precisely so different granularity splits can
     never alias to the same shape."""
     scalars, t0_arr, t1_arr, n_grid, n_rf = _prep_scalars(dyn, st)
-    tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)), n_grid)
-    cb_default = (32 if st.family == "rca" and _pack_iq(st)
-                  else 16 if st.family == "rca" else 8)
-    ch_block = min(_knob(st, "ch_block", cb_default), st.local_channels)
+    tx_block, ch_block = _block_geometry(st, n_grid)
     bounds_cb = _ch_sub(st, ch_block)
     n_cb_bounds = _cdiv(st.local_channels, ch_block) * (ch_block // bounds_cb)
     fn = jax.jit(functools.partial(
@@ -2015,20 +2221,28 @@ def das_forces_pallas(rf, dyn, st, interpret: bool = False):
 def _default_candidates(st: DasStatic):
     if st.frame_batch > 1:
         # Default {} is lax.map over the single-frame kernel (the v5e
-        # winner: 5.8 vs 12.4+ ms/frame packed).  fb_pack=1 candidates
-        # cover the geometry-sharing packed kernel with smaller channel/
-        # transmit blocks (its RF block and accumulator VMEM scale by B).
+        # winner vs fb_pack: 5.8 vs 12.4+ ms/frame packed).  fb_pack=1
+        # candidates cover the geometry-sharing packed gather kernel;
+        # fb_mxu=1 the one-hot MXU kernel (pays at cine batch sizes,
+        # B >= 32 — mxu candidates only join when the batch qualifies).
+        mxu_ok = st.frame_batch % 16 == 0 and not st.coherency_weighting
+        mxu_c = ([{"fb_mxu": 1}, {"fb_mxu": 1, "mxu_exact": 0},
+                  {"fb_mxu": 1, "mxu_rf_mb": 2},
+                  {"fb_mxu": 1, "mxu_rf_mb": 8},
+                  {"fb_mxu": 1, "tile_sub": 8}] if mxu_ok else [])
         if st.family == "rca":
             return [{}, {"fb_pack": 1}, {"fb_pack": 1, "ch_block": 16},
                     {"fb_pack": 1, "ch_block": 8},
                     {"fb_pack": 1, "ch_block": 8, "pred_share": 8},
                     {"fb_pack": 1, "tile_sub": 32},
-                    {"fb_pack": 1, "hermite": 0}]
+                    {"fb_pack": 1, "hermite": 0}] + mxu_c
         return [{}, {"fb_pack": 1}, {"fb_pack": 1, "ch_block": 4},
                 {"fb_pack": 1, "ch_block": 16}, {"fb_pack": 1, "tx_block": 8},
                 {"fb_pack": 1, "tx_block": 8, "ch_block": 4},
                 {"fb_pack": 1, "pred_share": 8},
-                {"fb_pack": 1, "pack_pairs": 0}]
+                {"fb_pack": 1, "pack_pairs": 0}] + mxu_c + (
+                    [{"fb_mxu": 1, "tx_block": 2},
+                     {"fb_mxu": 1, "tx_block": 8}] if mxu_ok else [])
     if st.family == "rca":
         return [{}, {"group": 2}, {"ch_block": 8, "pred_share": 8},
                 {"ch_block": 16}, {"ch_block": 32},

@@ -503,3 +503,123 @@ def test_forces_full_tiles(rng):
     ref, out = _run(rng, p)
     assert np.abs(np.asarray(ref)).max() > 0
     assert nrmse(ref, np.asarray(out)) < TOL
+
+
+# ---------------------------------------------------------------------------
+# fb_mxu: one-hot MXU frame-batched kernel (zero gathers)
+# ---------------------------------------------------------------------------
+
+def _run_mxu(rng, p, iq, B=16, knobs=None):
+    """Golden per-frame refs + fb_mxu batched run (interpret mode)."""
+    import dataclasses
+
+    import jax
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    c, a, s = p.channel_count, p.acquisition_count, p.sample_count
+    rf = rng.standard_normal((B, c, a, s)).astype(np.float32)
+    if iq:
+        rf = (rf + 1j * rng.standard_normal((B, c, a, s))).astype(
+            np.complex64)
+    refs = [golden.das(rf[b], p) for b in range(B)]
+    st1 = make_static(p, iq=iq)
+    stb = dataclasses.replace(st1, frame_batch=B)
+    dyn = make_dynamic(p)
+    dp_mod.ABLATE["fb_mxu"] = 1
+    dp_mod.ABLATE.update(knobs or {})
+    try:
+        assert dp_mod._fb_mxu(stb)
+        out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
+                                    interpret=True))
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    assert out.shape == (B,) + tuple(st1.output_points)
+    return refs, out
+
+
+@pytest.mark.parametrize("iq,interp", [
+    (True, InterpolationMode.Cubic),    # the cine-loop flagship shape
+    (True, InterpolationMode.Linear),
+    (False, InterpolationMode.Cubic),
+    (False, InterpolationMode.Linear),
+    (False, InterpolationMode.Nearest),
+])
+def test_frame_batch_mxu(rng, iq, interp):
+    """The one-hot MXU batch kernel (fb_mxu=1) matches golden per frame:
+    banded weight matrices from iota compares replace every lane-gather;
+    bf16 (hi, lo) RF splits + the mxu_exact W cross term keep f32-grade
+    numerics (well inside the 1e-3 contract)."""
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=interp)
+    refs, out = _run_mxu(rng, p, iq)
+    for b in range(len(refs)):
+        assert np.abs(refs[b]).max() > 0
+        assert nrmse(refs[b], out[b]) < 3e-4
+
+
+def test_frame_batch_mxu_rca_iq(rng):
+    """Plane-wave (RCA/Flash) cubic IQ — the headline configuration's
+    family — through the MXU batch kernel, rotation applied per chunk."""
+    a = 3
+    fv = np.stack([np.array([-5.0, 0.0, 5.0], np.float32),
+                   np.full(a, np.inf, np.float32)], axis=-1)
+    p = _params(8, a, 256, (12, 16, 1), AcquisitionKind.Flash,
+                single_focus=False, focal_vectors=fv,
+                single_orientation=False,
+                transmit_receive_orientations=np.full(
+                    a, pack_tx_rx_orientation(RCAOrientation.Columns,
+                                              RCAOrientation.Columns),
+                    np.uint8),
+                interpolation_mode=InterpolationMode.Cubic)
+    refs, out = _run_mxu(rng, p, iq=True)
+    for b in range(len(refs)):
+        assert np.abs(refs[b]).max() > 0
+        assert nrmse(refs[b], out[b]) < 3e-4
+
+
+def test_frame_batch_mxu_hercules_3d(rng):
+    p = _params(8, 4, 256, (8, 8, 12), AcquisitionKind.HERCULES,
+                transmit_receive_orientation=pack_tx_rx_orientation(
+                    RCAOrientation.Rows, RCAOrientation.Columns),
+                transmit_angle=3.0, focus_depth=np.inf,
+                interpolation_mode=InterpolationMode.Linear)
+    refs, out = _run_mxu(rng, p, iq=False)
+    for b in range(len(refs)):
+        assert np.abs(refs[b]).max() > 0
+        assert nrmse(refs[b], out[b]) < 3e-4
+
+
+def test_frame_batch_mxu_inexact_weights(rng):
+    """mxu_exact=0 drops the RF_hi @ W_lo cross term: weights degrade to
+    bf16 (~2^-9 relative).  Still inside the 1e-3 golden contract on this
+    shape, but without the exact mode's margin — the default stays
+    mxu_exact=1 unless hardware A/B says the 1/3 fewer matmuls matter."""
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    refs, out = _run_mxu(rng, p, iq=True, knobs={"mxu_exact": 0})
+    errs = [nrmse(refs[b], out[b]) for b in range(len(refs))]
+    assert max(errs) < TOL
+
+
+def test_mxu_table_static_and_gating():
+    """fb_mxu keeps the batched table key (the kernel runs batched), and
+    the gate enforces its hardware preconditions (B % 16, no coherency)."""
+    import dataclasses
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    p = _params(8, 3, 256, (12, 16, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    st1 = make_static(p, iq=False)
+    stb = dataclasses.replace(st1, frame_batch=16)
+    dp_mod.ABLATE["fb_mxu"] = 1
+    try:
+        assert dp_mod.das_table_static(stb) == stb
+        assert not dp_mod._fb_mxu(dataclasses.replace(st1, frame_batch=12))
+        assert not dp_mod._fb_mxu(st1)
+        assert not dp_mod._fb_mxu(
+            dataclasses.replace(stb, coherency_weighting=True))
+    finally:
+        dp_mod.ABLATE.clear()
