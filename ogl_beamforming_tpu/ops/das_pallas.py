@@ -28,9 +28,13 @@ roofline).  Design, driven by what Mosaic executes fast:
     scratch accumulator plane), so branch overhead is amortized
     ch_block x tx_block wide and exact per-chunk skipping is free.
   * One lane-gather (``take_along_axis`` within a 128-wide row — the one
-    dynamic gather Mosaic lowers natively) per interpolation tap; gathers
-    issue at ~1 vreg/cycle and are ~45% of kernel time at the measured
-    10.4 ms headline (ablations in PERFORMANCE.md).
+    dynamic gather Mosaic lowers natively) per interpolation tap.  The
+    v5e lane-gather hardware floor is **4.02 cyc per (8,128) vreg
+    isolated / 3.53 paired** (two gathers sharing one index — the
+    hermite structure; slope methodology, experiments/gather_micro3.py);
+    index/compare/unpack/FMA work hides completely under gather issue.
+    Gathers are ~73% of the 5.6 ms headline and the chunk loop sustains
+    2.5-2.65 cyc/vreg in situ — AT the hardware floor (PERFORMANCE.md).
   * IQ data is carried as separate re/im f32 planes; the phase rotation
     exp(+j 2 pi f_d idx / fs) (das.glsl:51-59) is applied once per
     (tile, channel, transmit) after tap accumulation.
@@ -601,8 +605,14 @@ def _block_geometry(st: DasStatic, n_grid: int):
     tx_block = min(_knob(st, "tx_block", _TXB.get(st.family, 4)), n_grid)
     if _fb_mxu(st):
         s_pad = _cdiv(st.sample_count, CHUNK) * CHUNK
-        per_ch = tx_block * st.frame_batch * _mxu_planes(st) * s_pad * 2
         budget = int(_knob(st, "mxu_rf_mb", 4)) << 20
+        # One channel's RF rows alone can blow the budget at cine batch
+        # sizes (B=128 IQ, S=4096: 16 MB at tx_block=4) — shrink the
+        # transmit block too, not just the channel block, so the block
+        # always fits VMEM (advisor r4, medium).
+        per_tx = st.frame_batch * _mxu_planes(st) * s_pad * 2
+        tx_block = max(1, min(tx_block, budget // max(per_tx, 1)))
+        per_ch = tx_block * per_tx
         cb_default = max(1, min(8, budget // max(per_ch, 1)))
     else:
         cb_default = (32 if st.family == "rca" and _pack_iq(st)
@@ -1821,6 +1831,9 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         # No per-pair accumulators: the MXU path rotates each (pair,
         # chunk, row) matmul result immediately (rotation is linear over
         # the chunk sum) and accumulates straight into the output block.
+        # The two minimal (8, LANE) buffers are never read or written —
+        # placeholders so the shared kernel signature keeps its arity
+        # (8 KB total).
         acc_shapes = [pltpu.VMEM((8, TILE_LANE), jnp.float32)] * 2
     else:
         acc_shapes = [
@@ -2226,7 +2239,10 @@ def _default_candidates(st: DasStatic):
         # fb_mxu=1 the one-hot MXU kernel (pays at cine batch sizes,
         # B >= 32 — mxu candidates only join when the batch qualifies).
         mxu_ok = st.frame_batch % 16 == 0 and not st.coherency_weighting
-        mxu_c = ([{"fb_mxu": 1}, {"fb_mxu": 1, "mxu_exact": 0},
+        # mxu_exact=0 is NOT a candidate: bf16-degraded weights measure
+        # 1.78e-3 NRMSE on cubic IQ — outside the 1e-3 golden contract
+        # (tests/test_das_pallas.py::test_frame_batch_mxu_inexact_weights).
+        mxu_c = ([{"fb_mxu": 1},
                   {"fb_mxu": 1, "mxu_rf_mb": 2},
                   {"fb_mxu": 1, "mxu_rf_mb": 8},
                   {"fb_mxu": 1, "tile_sub": 8}] if mxu_ok else [])
