@@ -148,6 +148,56 @@ def test_ch_sub_bounds(rng, kind, iq, knobs):
     assert nrmse(ref, np.asarray(out)) < TOL
 
 
+@pytest.mark.parametrize("kind,iq,out_points,kw,knobs", [
+    # rt=4 tiles of 16 rows -> 2 groups of 2 / 1 group of 4
+    (AcquisitionKind.FORCES, False, (12, 64, 1), {}, {"tile_grp": 4}),
+    (AcquisitionKind.FORCES, True, (12, 64, 1), {}, {"tile_grp": 2}),
+    # coherency weighting through the grouped flush
+    (AcquisitionKind.FORCES, False, (12, 64, 1),
+     {"coherency_weighting": True}, {"tile_grp": 2}),
+    # 3D: rows = nx*nz = 96 -> rt=6; tile_grp=4 must clamp to 3
+    (AcquisitionKind.HERCULES, False, (8, 8, 12), {}, {"tile_grp": 4}),
+    # 2D with nx > 128 lanes: zt=2, groups stride over z-tiles
+    (AcquisitionKind.Flash, False, (200, 32, 1), {}, {"tile_grp": 2}),
+])
+def test_tile_grp(rng, kind, iq, out_points, kw, knobs):
+    """tile_grp > 1 (TG row-tiles sharing each grid step's RF sweep —
+    the 3D fixed-cost lever) matches golden for every family, including
+    non-divisible clamping and the multi-z-tile 2D layout."""
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    kw = dict(kw, interpolation_mode=InterpolationMode.Linear)
+    if kind == AcquisitionKind.HERCULES:
+        kw.update(transmit_receive_orientation=pack_tx_rx_orientation(
+            RCAOrientation.Rows, RCAOrientation.Columns),
+            transmit_angle=0.0, focus_depth=np.inf)
+    elif kind == AcquisitionKind.Flash:
+        kw.update(single_focus=False,
+                  focal_vectors=np.stack(
+                      [np.zeros(3, np.float32),
+                       np.full(3, np.inf, np.float32)], axis=-1),
+                  single_orientation=False,
+                  transmit_receive_orientations=np.full(
+                      3, pack_tx_rx_orientation(RCAOrientation.Columns,
+                                                RCAOrientation.Columns),
+                      np.uint8))
+    a = 3 if kind == AcquisitionKind.Flash else 4
+    p = _params(8, a, 256, out_points, kind, **kw)
+    dp_mod.ABLATE.update(knobs)
+    try:
+        ref, out = _run(rng, p, iq=iq)
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    if p.coherency_weighting:
+        for r, o in zip(ref, out):
+            assert nrmse(r, np.asarray(o)) < TOL
+        assert np.abs(np.asarray(ref[0])).max() > 0
+    else:
+        assert np.abs(np.asarray(ref)).max() > 0
+        assert nrmse(ref, np.asarray(out)) < TOL
+
+
 def test_precomputed_activity_tables(rng):
     """das_activity_tables precomputed at plan time match the in-frame
     compute bitwise, and a stale-granularity table is detected by shape
