@@ -38,6 +38,11 @@ roofline).  Design, driven by what Mosaic executes fast:
   * IQ data is carried as separate re/im f32 planes; the phase rotation
     exp(+j 2 pi f_d idx / fs) (das.glsl:51-59) is applied once per
     (tile, channel, transmit) after tap accumulation.
+  * ``tile_grp``: TG consecutive row-tiles can share one grid step's
+    (channel x transmit) RF block sweep (:func:`_tile_grp`) — the
+    per-step RF re-fetch is the dominant *fixed* cost of the 3D volume
+    families (round-4 floor decomposition), and TG divides it while
+    keeping per-tile activity/bound/predicate granularity.
 
 Family-specific geometry (FORCES das.glsl:286-366, HERCULES :231-284,
 RCA :202-229) lives in small delay functions; the gather/accumulate
@@ -622,15 +627,17 @@ def _block_geometry(st: DasStatic, n_grid: int):
 
 
 def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
-                n_blocks: int,
+                n_blocks: int, tg: int,
                 scalars_ref, t0_ref, t1_ref, act_ref, qlo_ref, qhi_ref,
                 qblo_ref, qbhi_ref, lsc_ref,
                 vt_ref, xdc_ref, rf_ref, out_re_ref,
                 out_im_ref, out_in_ref, acc_re_ref, acc_im_ref, world_ref,
                 herc_ref, txc_ref):
-    """One (voxel-tile, channel, transmit-block) grid step: ``tx_block``
-    transmits are processed per step to amortize world-point/output traffic
-    and grid overhead.
+    """One (voxel-tile-group, channel, transmit-block) grid step:
+    ``tx_block`` transmits are processed per step to amortize world-point/
+    output traffic and grid overhead, and ``tg`` consecutive row-tiles
+    share the step's RF block fetch (:func:`_tile_grp`; tg == 1 is the
+    proven single-tile step with unchanged scratch shapes).
 
     ``act_ref`` (scalar prefetch) holds a per-tile activity flag computed by
     :func:`_tile_activity`; tiles whose delay range misses the RF samples (or
@@ -643,12 +650,14 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
     current block are cached in ``txc_ref`` at ch == 0 with *static* scratch
     indices (dynamic-offset VMEM access is the costliest Mosaic pattern we
     measured)."""
-    tile = pl.program_id(0)
+    grp = pl.program_id(0)
     blk = pl.program_id(1)
     ch = pl.program_id(2)
-    s = st.sample_count
-    nq = _cdiv(s, CHUNK)
     iq = st.iq
+    ts = _tile_rows(st)
+    zt = _n_z_tiles(st)
+    mxu = _fb_mxu(st)
+    B = st.frame_batch
 
     first = (ch == 0) & (blk == 0)
 
@@ -660,6 +669,40 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         if st.coherency_weighting:
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
+    for g in range(tg):
+        if tg == 1:
+            tile = grp
+            out_v = (out_re_ref, out_im_ref, out_in_ref)
+            world_v, herc_v, txc_v = world_ref, herc_ref, txc_ref
+        else:
+            # Group grp covers row-tiles (grp//zt)*tg .. +tg-1 at z-tile
+            # grp%zt; tile indices stay row_tile*zt + z_tile, so the
+            # per-tile activity/bound tables keep their layout.
+            tile = (grp // zt) * (tg * zt) + g * zt + (grp % zt)
+            rows = slice(g * ts, (g + 1) * ts)
+            if B > 1 and not mxu:     # (B, tg*ts, LANE): rows on axis 1
+                out_v = (out_re_ref.at[:, rows], out_im_ref.at[:, rows],
+                         out_in_ref.at[:, rows])
+            else:   # (tg*ts, LANE) or mxu (tg*ts, B, LANE): rows axis 0
+                out_v = (out_re_ref.at[rows], out_im_ref.at[rows],
+                         out_in_ref.at[rows])
+            world_v = world_ref.at[g]
+            herc_v = herc_ref.at[g]
+            txc_v = txc_ref.at[g]
+        _das_grp_tile(st, tx_block, ch_block, n_cb, n_blocks, tile, blk,
+                      ch, first, scalars_ref, t0_ref, t1_ref, act_ref,
+                      qlo_ref, qhi_ref, qblo_ref, qbhi_ref, lsc_ref,
+                      vt_ref, xdc_ref, rf_ref, out_v, acc_re_ref,
+                      acc_im_ref, world_v, herc_v, txc_v)
+
+
+def _das_grp_tile(st, tx_block, ch_block, n_cb, n_blocks, tile, blk, ch,
+                  first, scalars_ref, t0_ref, t1_ref, act_ref, qlo_ref,
+                  qhi_ref, qblo_ref, qbhi_ref, lsc_ref, vt_ref, xdc_ref,
+                  rf_ref, out_v, acc_re_ref, acc_im_ref, world_ref,
+                  herc_ref, txc_ref):
+    """Bounds read + activity gate + tile step for ONE tile of the grid
+    step's group (the whole step when ``tile_grp`` == 1)."""
     if not ABLATE.get("no_bounds"):
         # Prefetched conservative chunk bounds, one per (channel subgroup,
         # row group) of this (tile, ch-unit): pure scalar reads, no
@@ -704,7 +747,7 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
                        qmin, qmax,
                        scalars_ref, t0_ref, t1_ref, lsc_ref, vt_ref,
                        xdc_ref, rf_ref,
-                       out_re_ref, out_im_ref, out_in_ref, acc_re_ref,
+                       out_v[0], out_v[1], out_v[2], acc_re_ref,
                        acc_im_ref, world_ref, herc_ref, txc_ref)
 
 
@@ -1418,6 +1461,30 @@ def _row_halves(st) -> int:
     return max(1, h)
 
 
+def _tile_grp(st) -> int:
+    """Row-tiles sharing each grid step's (channel x transmit) RF sweep.
+
+    The round-4 floor decomposition showed both 3D volume families are
+    fixed-cost-bound, and the dominant fixed term is per-step RF re-fetch:
+    the block sweep streams the ENTIRE RF array once per voxel tile
+    (HERCULES 96^3: 576 tiles x 128 MB ~= 90 ms of the 116.7 ms fixed
+    component at 819 GB/s).  ``tile_grp = TG`` makes TG consecutive
+    row-tiles one grid step — the RF block is fetched once and swept over
+    all TG tiles — dividing that HBM traffic by TG while keeping 16-row
+    activity/bound/predicate granularity (each tile of the group keeps its
+    own flags, chunk bounds, and predicate regions).  Costs TG x the
+    world/tile-term/tx-plane scratch and a TG-times-taller output block.
+    Clamped to a divisor of the row-tile count (the output BlockSpec needs
+    uniform blocks).  Default 1 (the proven single-tile step); volume
+    autotune candidates cover it."""
+    rt = _n_row_tiles(st)
+    tg = max(1, int(_knob(st, "tile_grp", 1)))
+    tg = min(tg, rt)
+    while rt % tg:
+        tg -= 1
+    return tg
+
+
 def _ch_sub(st, ch_block: int) -> int:
     """Channel granularity of the chunk-bound tables.  Default = ch_block
     (one bounds row per grid step, round-2 behavior).  Smaller values keep
@@ -1776,8 +1843,10 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         n_planes = (2 if (st.iq and not packed) or hermite else 1)
     B = st.frame_batch
     rf_block = (ch_block, tx_block, B * n_planes, s_pad)
+    tg = _tile_grp(st)
+    n_groups = (rt // tg) * zt
     kernel = functools.partial(_das_kernel, st, tx_block, ch_block,
-                               n_cb_bounds, n_blocks)
+                               n_cb_bounds, n_blocks, tg)
 
     ts = _tile_rows(st)
     if mxu:
@@ -1801,24 +1870,31 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # (consecutive identical block indices are not re-fetched).
     # Channels innermost so per-(tile, block) transmit planes cached at
     # ch == 0 stay valid for the whole channel sweep.
-    grid = (n_tiles, n_blocks, n_ch_grid)
+    grid = (n_groups, n_blocks, n_ch_grid)
     if mxu:
-        out_spec = pl.BlockSpec((ts, B, TILE_LANE),
+        out_spec = pl.BlockSpec((tg * ts, B, TILE_LANE),
                                 lambda i, b, c, *_: (i // zt, 0, i % zt),
                                 memory_space=pltpu.VMEM)
     elif B == 1:
-        out_spec = pl.BlockSpec((ts, TILE_LANE),
+        out_spec = pl.BlockSpec((tg * ts, TILE_LANE),
                                 lambda i, b, c, *_: (i // zt, i % zt),
                                 memory_space=pltpu.VMEM)
     else:
-        out_spec = pl.BlockSpec((B, ts, TILE_LANE),
+        out_spec = pl.BlockSpec((B, tg * ts, TILE_LANE),
                                 lambda i, b, c, *_: (0, i // zt, i % zt),
                                 memory_space=pltpu.VMEM)
 
     def rf_index(i, b, c, scalars, t0, t1, act, *_):
         if ABLATE.get("rf_pin"):      # timing-only: no per-step RF refetch
             return (0, 0, 0, 0)
-        on = act[i] > 0
+        if tg == 1:
+            on = act[i] > 0
+        else:
+            # fetch when ANY tile of the group is active
+            base = (i // zt) * (tg * zt) + (i % zt)
+            on = act[base] > 0
+            for g in range(1, tg):
+                on = on | (act[base + g * zt] > 0)
         return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
     # shared-predicate batches need one accumulator slot per pair (batches
@@ -1854,11 +1930,17 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                          memory_space=pltpu.VMEM),   # one (c, a) RF line
         ],
         out_specs=[out_spec] * 3,
-        scratch_shapes=acc_shapes + [
+        scratch_shapes=acc_shapes + ([
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # world (+f2z)
             pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # tile terms
             pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),  # tx planes
-        ],
+        ] if tg == 1 else [
+            # per-tile caches of the group (tile_grp: one RF sweep serves
+            # tg row-tiles; each keeps its own world/tile-term/tx planes)
+            pltpu.VMEM((tg, 5, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((tg, 5, ts, TILE_LANE), jnp.float32),
+            pltpu.VMEM((tg, tx_block, ts, TILE_LANE), jnp.float32),
+        ]),
     )
 
     fn = pl.pallas_call(
@@ -2282,7 +2364,10 @@ def _default_candidates(st: DasStatic):
                     {"ch_block": 16, "tile_sub": 32},
                     {"tile_sub": 16, "tx_block": 8},
                     {"tile_sub": 16, "ch_sub": 4},
-                    {"tile_sub": 8}] if volume else [])
+                    {"tile_sub": 8},
+                    # round-5: tile-grouped RF sweeps (the fixed-cost lever)
+                    {"tile_grp": 4}, {"tile_grp": 8},
+                    {"tile_grp": 8, "ch_block": 16}] if volume else [])
     return [{}, {"group": 2}, {"pred_share": 8}, {"ch_block": 16},
             {"tile_sub": 32}, {"tx_block": 8},
             {"tx_block": 8, "pred_share": 64}, {"row_halves": 2},
@@ -2297,7 +2382,10 @@ def _default_candidates(st: DasStatic):
                 # combos (A=63 pads to one 64-transmit block)
                 {"tx_block": 64}, {"ch_block": 16, "tx_block": 32},
                 {"tx_block": 32, "pred_share": 64},
-                {"tx_block": 32, "tile_sub": 32}] if volume else []) + ([
+                {"tx_block": 32, "tile_sub": 32},
+                # round-5: tile-grouped RF sweeps (the fixed-cost lever)
+                {"tile_grp": 4, "tx_block": 32},
+                {"tile_grp": 8, "tx_block": 32}] if volume else []) + ([
                     # IQ baseband (demod-chain DAS): rotation/packing
                     # structure knobs the real-RF sweep never exercises
                     {"pack_iq": 0}, {"hermite": 0},
