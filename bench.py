@@ -49,7 +49,11 @@ def _progress(msg):
 # ---------------------------------------------------------------------------
 
 WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", "520"))
-LINK_PROBE_S = float(os.environ.get("BENCH_LINK_PROBE_S", "120"))
+# A fresh process pays the axon attach cost on its FIRST device touch —
+# measured 80-120 s on a healthy tunnel (the probe is attach + readback,
+# not just RTT), so the budget must sit well above it or healthy runs
+# misreport as "link dead" (observed at 120 s).
+LINK_PROBE_S = float(os.environ.get("BENCH_LINK_PROBE_S", "300"))
 
 _STATE = {"stage": "init", "result": None, "emitted": False,
           "lock": threading.Lock()}
