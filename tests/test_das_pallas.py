@@ -632,6 +632,51 @@ def test_frame_batch_mxu(rng, iq, interp):
         assert nrmse(refs[b], out[b]) < 3e-4
 
 
+def test_tile_grp_mxu(rng):
+    """tile_grp composes with the one-hot MXU batch kernel: the grouped
+    (tg*ts, B, LANE) output-block views route each tile's in-body
+    accumulates to its own row slice.  (12, 64, 1) -> rt=4, tg=2."""
+    p = _params(8, 3, 256, (12, 64, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    refs, out = _run_mxu(rng, p, iq=True, knobs={"tile_grp": 2})
+    for b in range(len(refs)):
+        assert np.abs(refs[b]).max() > 0
+        assert nrmse(refs[b], out[b]) < 3e-4
+
+
+def test_tile_grp_fb_pack(rng):
+    """tile_grp composes with the geometry-sharing packed batch kernel:
+    the (B, tg*ts, LANE) views route each frame's flush to the right
+    rows."""
+    import dataclasses
+
+    import jax
+
+    from ogl_beamforming_tpu.ops import das_pallas as dp_mod
+
+    p = _params(8, 3, 256, (12, 64, 1), AcquisitionKind.FORCES,
+                interpolation_mode=InterpolationMode.Cubic)
+    c, a, s = p.channel_count, p.acquisition_count, p.sample_count
+    B = 2
+    rf = (rng.standard_normal((B, c, a, s))
+          + 1j * rng.standard_normal((B, c, a, s))).astype(np.complex64)
+    st1 = make_static(p, iq=True)
+    dyn = make_dynamic(p)
+    singles = [np.asarray(das_pallas(rf[b], dyn, st1, interpret=True))
+               for b in range(B)]
+    stb = dataclasses.replace(st1, frame_batch=B)
+    dp_mod.ABLATE.update({"fb_pack": 1, "tile_grp": 2})
+    try:
+        out = np.asarray(das_pallas(jax.numpy.asarray(rf), dyn, stb,
+                                    interpret=True))
+    finally:
+        dp_mod.ABLATE.clear()
+        dp_mod._das_call.cache_clear()
+    for b in range(B):
+        assert np.abs(singles[b]).max() > 0
+        assert nrmse(singles[b], out[b]) < 1e-5
+
+
 def test_frame_batch_mxu_rca_iq(rng):
     """Plane-wave (RCA/Flash) cubic IQ — the headline configuration's
     family — through the MXU batch kernel, rotation applied per chunk."""
