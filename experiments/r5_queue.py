@@ -91,7 +91,7 @@ def main():
     # compiles can run minutes each through the remote server), and the
     # A/B script persists each case's winner as it finishes — separate
     # blocks keep partial progress across a mid-queue degradation.
-    for fam, budget in (("hercules", 9000), ("uforces", 9000),
+    for fam, budget in (("hercules", 10800), ("uforces", 10800),
                         ("forces_big", 7200), ("headline", 7200)):
         results[f"tg_{fam}"] = run_block(
             f"tg_{fam}", [py, "experiments/tile_grp_ab.py",

@@ -36,7 +36,7 @@ def main():
                     "headline")
     ap.add_argument("--iters", type=int, default=0,
                     help="override per-case iters (0 = per-case default)")
-    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--passes", type=int, default=1)
     args = ap.parse_args()
     fams = set(args.families.split(","))
 
@@ -108,7 +108,7 @@ def main():
             iters = args.iters
         best, results = das_pallas.autotune_das(
             rf, dyn, st, candidates=candidates, iters=iters, warmup=1,
-            passes=args.passes)
+            passes=args.passes, verbose=True)
         for k, v in sorted(results.items(),
                            key=lambda kv: kv[1] or float("inf")):
             print(f"   {k}: "
@@ -136,9 +136,7 @@ def main():
                          st.sample_count))
         case("hercules_3d S=2048", rf, plan.dyn["das"], st,
              [{},                                 # incumbent (defaults)
-              {"tile_grp": 4}, {"tile_grp": 8}, {"tile_grp": 16},
-              {"tile_grp": 8, "tx_block": 8},
-              {"tile_grp": 8, "ch_block": 16},
+              {"tile_grp": 8}, {"tile_grp": 16},
               {"tile_grp": 16, "ch_block": 16}],
              iters=3)
 
@@ -151,12 +149,8 @@ def main():
                          st.sample_count))
         case("uforces_3d", rf, plan.dyn["das"], st,
              [{"tx_block": 32},                   # incumbent
-              {"tile_grp": 4, "tx_block": 32},
               {"tile_grp": 8, "tx_block": 32},
-              {"tile_grp": 16, "tx_block": 32},
-              {"tile_grp": 8},
-              {"tile_grp": 8, "tx_block": 64},
-              {"tile_grp": 8, "ch_block": 16, "tx_block": 32}],
+              {"tile_grp": 16, "tx_block": 32}],
              iters=2)
 
     if "forces_big" in fams:
@@ -186,7 +180,6 @@ def main():
         rf = dev_normal((c, a, s))
         case("forces_big", rf, plan.dyn["das"], st,
              [{"tx_block": 8},                    # incumbent
-              {"tile_grp": 4, "tx_block": 8},
               {"tile_grp": 8, "tx_block": 8},
               {"tile_grp": 16, "tx_block": 8}],
              iters=6)
@@ -203,7 +196,7 @@ def main():
                          st.sample_count), cplx=True)
         case("headline plane-wave IQ", rf, plan.dyn["das"], st,
              [{},                                 # incumbent
-              {"tile_grp": 4}, {"tile_grp": 8}, {"tile_grp": 16}],
+              {"tile_grp": 8}],
              iters=16)
 
 

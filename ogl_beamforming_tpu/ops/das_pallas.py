@@ -2395,7 +2395,7 @@ def _default_candidates(st: DasStatic):
 
 def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
                  iters: int = 4, warmup: int = 1, save_path=None,
-                 passes: int = 2):
+                 passes: int = 2, verbose: bool = False):
     """Measure knob combinations for this configuration on the current
     device and install the fastest in :data:`TUNED` (used by every later
     trace of the same descriptor).  The reference tunes its dispatch
@@ -2443,13 +2443,21 @@ def autotune_das(rf, dyn: dict, st: DasStatic, candidates=None,
                     out = das_jit(rf, dyn_c, st)
                 sync(out)
                 dt = (_time.perf_counter() - t0) / iters
-            except Exception:          # a candidate may not compile
+            except Exception as e:     # a candidate may not compile
                 TUNED.pop(key, None)
                 results[repr(knobs)] = None
+                if verbose:
+                    print(f"[autotune] {knobs}: FAIL "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
                 continue
             prev = results.get(repr(knobs))
             results[repr(knobs)] = dt if prev is None or not isinstance(
                 prev, float) else min(prev, dt)
+            if verbose:
+                # per-candidate progress: cold Mosaic compiles run minutes
+                # each on the tunneled attach, and a timed-out sweep that
+                # printed nothing loses everything it measured (round 5).
+                print(f"[autotune] {knobs}: {dt * 1e3:.3f} ms", flush=True)
     best = None
     best_t = np.inf
     for knobs in candidates:
