@@ -661,7 +661,41 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
 
     first = (ch == 0) & (blk == 0)
 
-    @pl.when(first)
+    if tg == 1:
+        tile = grp
+        out_v = (out_re_ref, out_im_ref, out_in_ref)
+        world_v, herc_v, txc_v = world_ref, herc_ref, txc_ref
+        zero = first
+    else:
+        # The group is the INNERMOST grid dim: consecutive (blk, ch)
+        # steps sweep g with an unchanged RF block index, so the pipeline
+        # skips the re-fetch (the same consecutive-identical-index rule
+        # the inactive-tile collapse exploits) — RF HBM traffic divides
+        # by tg with NO kernel-body growth.  (The first implementation
+        # unrolled the group as an in-step python loop; the tg-times
+        # bigger body measured 3x SLOWER on HERCULES 96^3 — 1007 vs
+        # 335 ms, flat in tg — so the grid-dim form replaced it.)
+        # Group grp covers row-tiles (grp//zt)*tg .. +tg-1 at z-tile
+        # grp%zt; tile indices stay row_tile*zt + z_tile, so the
+        # per-tile activity/bound tables keep their layout.  Per-tile
+        # caches live at g-offset rows of shared scratch: dynamic
+        # *sublane* slices at 8-aligned offsets are the Mosaic-native
+        # dynamic access (leading-dim scratch indexing is not).
+        g = pl.program_id(3)
+        tile = (grp // zt) * (tg * zt) + g * zt + (grp % zt)
+        rows = pl.ds(pl.multiple_of(g * ts, 8), ts)
+        if B > 1 and not mxu:     # (B, tg*ts, LANE): rows on axis 1
+            out_v = (out_re_ref.at[:, rows], out_im_ref.at[:, rows],
+                     out_in_ref.at[:, rows])
+        else:   # (tg*ts, LANE) or mxu (tg*ts, B, LANE): rows axis 0
+            out_v = (out_re_ref.at[rows], out_im_ref.at[rows],
+                     out_in_ref.at[rows])
+        world_v = world_ref.at[:, rows]
+        herc_v = herc_ref.at[:, rows]
+        txc_v = txc_ref.at[:, rows]
+        zero = first & (g == 0)
+
+    @pl.when(zero)
     def _():
         out_re_ref[:] = jnp.zeros_like(out_re_ref)
         if iq:
@@ -669,31 +703,11 @@ def _das_kernel(st: DasStatic, tx_block: int, ch_block: int, n_cb: int,
         if st.coherency_weighting:
             out_in_ref[:] = jnp.zeros_like(out_in_ref)
 
-    for g in range(tg):
-        if tg == 1:
-            tile = grp
-            out_v = (out_re_ref, out_im_ref, out_in_ref)
-            world_v, herc_v, txc_v = world_ref, herc_ref, txc_ref
-        else:
-            # Group grp covers row-tiles (grp//zt)*tg .. +tg-1 at z-tile
-            # grp%zt; tile indices stay row_tile*zt + z_tile, so the
-            # per-tile activity/bound tables keep their layout.
-            tile = (grp // zt) * (tg * zt) + g * zt + (grp % zt)
-            rows = slice(g * ts, (g + 1) * ts)
-            if B > 1 and not mxu:     # (B, tg*ts, LANE): rows on axis 1
-                out_v = (out_re_ref.at[:, rows], out_im_ref.at[:, rows],
-                         out_in_ref.at[:, rows])
-            else:   # (tg*ts, LANE) or mxu (tg*ts, B, LANE): rows axis 0
-                out_v = (out_re_ref.at[rows], out_im_ref.at[rows],
-                         out_in_ref.at[rows])
-            world_v = world_ref.at[g]
-            herc_v = herc_ref.at[g]
-            txc_v = txc_ref.at[g]
-        _das_grp_tile(st, tx_block, ch_block, n_cb, n_blocks, tile, blk,
-                      ch, first, scalars_ref, t0_ref, t1_ref, act_ref,
-                      qlo_ref, qhi_ref, qblo_ref, qbhi_ref, lsc_ref,
-                      vt_ref, xdc_ref, rf_ref, out_v, acc_re_ref,
-                      acc_im_ref, world_v, herc_v, txc_v)
+    _das_grp_tile(st, tx_block, ch_block, n_cb, n_blocks, tile, blk,
+                  ch, first, scalars_ref, t0_ref, t1_ref, act_ref,
+                  qlo_ref, qhi_ref, qblo_ref, qbhi_ref, lsc_ref,
+                  vt_ref, xdc_ref, rf_ref, out_v, acc_re_ref,
+                  acc_im_ref, world_v, herc_v, txc_v)
 
 
 def _das_grp_tile(st, tx_block, ch_block, n_cb, n_blocks, tile, blk, ch,
@@ -1870,7 +1884,8 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
     # (consecutive identical block indices are not re-fetched).
     # Channels innermost so per-(tile, block) transmit planes cached at
     # ch == 0 stay valid for the whole channel sweep.
-    grid = (n_groups, n_blocks, n_ch_grid)
+    grid = ((n_groups, n_blocks, n_ch_grid) if tg == 1
+            else (n_groups, n_blocks, n_ch_grid, tg))
     if mxu:
         out_spec = pl.BlockSpec((tg * ts, B, TILE_LANE),
                                 lambda i, b, c, *_: (i // zt, 0, i % zt),
@@ -1884,18 +1899,24 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                                 lambda i, b, c, *_: (0, i // zt, i % zt),
                                 memory_space=pltpu.VMEM)
 
-    def rf_index(i, b, c, scalars, t0, t1, act, *_):
-        if ABLATE.get("rf_pin"):      # timing-only: no per-step RF refetch
-            return (0, 0, 0, 0)
-        if tg == 1:
+    if tg == 1:
+        def rf_index(i, b, c, scalars, t0, t1, act, *_):
+            if ABLATE.get("rf_pin"):  # timing-only: no per-step RF refetch
+                return (0, 0, 0, 0)
             on = act[i] > 0
-        else:
-            # fetch when ANY tile of the group is active
+            return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
+    else:
+        def rf_index(i, b, c, g, scalars, t0, t1, act, *_):
+            if ABLATE.get("rf_pin"):
+                return (0, 0, 0, 0)
+            # group-level any-active: a per-tile collapse would break the
+            # consecutive-identical-index run that makes the g sweep
+            # fetch-free, so the whole group shares one fetch decision.
             base = (i // zt) * (tg * zt) + (i % zt)
             on = act[base] > 0
-            for g in range(1, tg):
-                on = on | (act[base + g * zt] > 0)
-        return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
+            for gg in range(1, tg):
+                on = on | (act[base + gg * zt] > 0)
+            return (jnp.where(on, c, 0), jnp.where(on, b, 0), 0, 0)
 
     # shared-predicate batches need one accumulator slot per pair (batches
     # are additionally capped at one _ch_sub bound subgroup)
@@ -1930,17 +1951,13 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
                          memory_space=pltpu.VMEM),   # one (c, a) RF line
         ],
         out_specs=[out_spec] * 3,
-        scratch_shapes=acc_shapes + ([
-            pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # world (+f2z)
-            pltpu.VMEM((5, ts, TILE_LANE), jnp.float32),   # tile terms
-            pltpu.VMEM((tx_block, ts, TILE_LANE), jnp.float32),  # tx planes
-        ] if tg == 1 else [
-            # per-tile caches of the group (tile_grp: one RF sweep serves
-            # tg row-tiles; each keeps its own world/tile-term/tx planes)
-            pltpu.VMEM((tg, 5, ts, TILE_LANE), jnp.float32),
-            pltpu.VMEM((tg, 5, ts, TILE_LANE), jnp.float32),
-            pltpu.VMEM((tg, tx_block, ts, TILE_LANE), jnp.float32),
-        ]),
+        scratch_shapes=acc_shapes + [
+            # tile_grp: per-tile caches stack along the row (sublane)
+            # axis — each tile of the group owns rows [g*ts, (g+1)*ts)
+            pltpu.VMEM((5, tg * ts, TILE_LANE), jnp.float32),  # world+f2z
+            pltpu.VMEM((5, tg * ts, TILE_LANE), jnp.float32),  # tile terms
+            pltpu.VMEM((tx_block, tg * ts, TILE_LANE), jnp.float32),  # tx
+        ],
     )
 
     fn = pl.pallas_call(
@@ -1949,7 +1966,7 @@ def _das_call(st: DasStatic, n_acq_grid: int, n_rf_acq: int, interpret: bool):
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",) * len(grid)),
     )
 
     sparse = int(st.sparse) if st.family != "rca" else 0
